@@ -1,0 +1,126 @@
+"""Inference-time image preprocessing.
+
+Reimplements (reference lib/network/im_transform.py:119-134 and
+lib/datasets/preprocessing.py:16-98) for an NHWC / TPU pipeline:
+
+- :func:`crop_with_factor`: scale shortest side to `dest_size`, zero-pad H/W
+  up to multiples of `factor` (the network sees the zero pad, exactly like
+  the reference — nothing is masked).
+- the four pixel-normalization modes. The reference emits CHW; we emit HWC
+  (NHWC batches) since that is the TPU-native layout.
+- :func:`pad_to_bucket`: static-shape bucketing so jit does not recompile
+  per aspect ratio.
+
+Images are BGR uint8 (cv2 convention) on input, like the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+_VGG_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+_VGG_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def factor_closest(num: float, factor: int, is_ceil: bool = True) -> int:
+    fn = math.ceil if is_ceil else math.floor
+    return int(fn(float(num) / factor)) * factor
+
+
+def crop_with_factor(im: np.ndarray, dest_size: int, factor: int = 8,
+                     is_ceil: bool = True
+                     ) -> Tuple[np.ndarray, float, Tuple[int, int, int]]:
+    """Scale shortest side to dest_size and zero-pad to factor multiples.
+
+    Returns (padded image, scale, real (unpadded) shape).
+    """
+    im_scale = float(dest_size) / np.min(im.shape[0:2])
+    im = cv2.resize(im, None, fx=im_scale, fy=im_scale)
+    h, w, c = im.shape
+    new_h = factor_closest(h, factor, is_ceil)
+    new_w = factor_closest(w, factor, is_ceil)
+    im_padded = np.zeros((new_h, new_w, c), dtype=im.dtype)
+    im_padded[0:h, 0:w, :] = im
+    return im_padded, im_scale, im.shape
+
+
+def pad_to_bucket(im: np.ndarray, bucket_multiple: int = 64
+                  ) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Zero-pad H/W up to the next multiple of `bucket_multiple`.
+
+    Coarser than the model stride so jit sees a small set of static shapes
+    across an eval run instead of one shape per aspect ratio.
+    """
+    h, w = im.shape[:2]
+    bh = factor_closest(h, bucket_multiple)
+    bw = factor_closest(w, bucket_multiple)
+    out = np.zeros((bh, bw) + im.shape[2:], dtype=im.dtype)
+    out[:h, :w] = im
+    return out, (h, w)
+
+
+# --- pixel normalization modes (HWC float32 out) --------------------------
+
+def rtpose_preprocess(image: np.ndarray) -> np.ndarray:
+    """x/256 - 0.5, stays BGR (for caffe-converted weights).
+
+    Reference lib/datasets/preprocessing.py:16-21 (minus the CHW transpose).
+    """
+    return image.astype(np.float32) / 256.0 - 0.5
+
+
+def vgg_preprocess(image: np.ndarray) -> np.ndarray:
+    """BGR->RGB, /255, ImageNet mean/std (for weights trained in-repo).
+
+    Reference lib/datasets/preprocessing.py:32-43.
+    """
+    rgb = image[:, :, ::-1].astype(np.float32) / 255.0
+    return (rgb - _VGG_MEAN) / _VGG_STD
+
+
+def inception_preprocess(image: np.ndarray) -> np.ndarray:
+    """BGR->RGB, x/128 - 1. Reference preprocessing.py:46-52."""
+    return image[:, :, ::-1].astype(np.float32) / 128.0 - 1.0
+
+
+def ssd_preprocess(image: np.ndarray) -> np.ndarray:
+    """Mean-subtract (104,117,123) channel-flip dance.
+
+    Reference preprocessing.py:77-86: BGR->RGB, subtract (104,117,123),
+    then flip back to BGR order.
+    """
+    rgb = image[:, :, ::-1].astype(np.float32)
+    rgb -= np.array([104.0, 117.0, 123.0], dtype=np.float32)
+    return rgb[:, :, ::-1]
+
+
+_MODES = {
+    "rtpose": rtpose_preprocess,
+    "vgg": vgg_preprocess,
+    "inception": inception_preprocess,
+    "ssd": ssd_preprocess,
+}
+
+
+def preprocess(image: np.ndarray, mode: str) -> np.ndarray:
+    """Dispatch by mode name (reference preprocessing.py:89-98)."""
+    if mode not in _MODES:
+        return image
+    return _MODES[mode](image)
+
+
+def inverse_vgg_preprocess(image_hwc: np.ndarray) -> np.ndarray:
+    rgb = image_hwc * _VGG_STD + _VGG_MEAN
+    return (rgb[:, :, ::-1] * 255.0)
+
+
+def inverse_rtpose_preprocess(image_hwc: np.ndarray) -> np.ndarray:
+    return ((image_hwc + 0.5) * 256.0).astype(np.uint8)

@@ -1,0 +1,23 @@
+"""Test bootstrap: run everything on a virtual 8-device CPU mesh.
+
+The driver benches on a real TPU chip; tests exercise the identical code
+paths on CPU with XLA's host-platform device multiplexing so sharding /
+collective logic is covered without hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
