@@ -1,0 +1,304 @@
+"""On-device PAF grouping: connection scoring + greedy person assembly.
+
+TPU-native re-expression of the C++ grouping stage (reference
+lib/pafprocess/pafprocess.cpp:22-194) as fixed-shape XLA programs:
+
+- connection scoring: all 19 x K x K candidate pairs at once; the 10-sample
+  PAF line integral becomes a vectorized gather.  The reference samples a
+  nearest-neighbor x8-upsampled PAF at integer coords (paf_to_pose.py:382);
+  nearest upsample by an integer factor is index division, so we gather the
+  low-res PAF at (y//8, x//8) and never materialize the upsampled map.
+- greedy 1-1 assignment per limb: candidates sorted by score, fixed-length
+  `lax.scan` with used-row/used-col masks (semantics of pafprocess.cpp:96-124).
+- person assembly: one `lax.scan` over the compacted connection list,
+  maintaining a fixed (max_people, 20) subset array (pafprocess.cpp:127-191).
+
+Peak ids are 1-based (cid = part*K + k + 1) so "slot is set" is exactly
+`cid > 0` — intentionally fixing the reference's membership quirk where a
+person holding global peak id 0 was invisible to the merge test
+(pafprocess.cpp:153-158); the host oracle replicates both behaviors for
+differential testing (ops/grouping_ref.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..skeleton import (GROUP_PAIRS, GROUP_PAIRS_NET, NUM_GROUP_PAIRS,
+                        NUM_PARTS, NUM_SEED_PAIRS)
+from .peaks import Peaks
+
+STEP_PAF = 10
+THRESH_VECTOR_SCORE = 0.05
+
+_PAIR_A = np.array([p[0] for p in GROUP_PAIRS], dtype=np.int32)
+_PAIR_B = np.array([p[1] for p in GROUP_PAIRS], dtype=np.int32)
+_PAIR_CHX = np.array([c[0] for c in GROUP_PAIRS_NET], dtype=np.int32)
+_PAIR_CHY = np.array([c[1] for c in GROUP_PAIRS_NET], dtype=np.int32)
+
+
+@dataclasses.dataclass
+class People:
+    """Fixed-shape decoded people.
+
+    coords: (P, 18, 2) int32 x,y in the upsampled frame (-1 if missing)
+    part_score: (P, 18) float32 peak scores (0 if missing)
+    score: (P,) float32 person score (score-sum / part-count)
+    valid: (P,) bool
+    """
+    coords: jax.Array
+    part_score: jax.Array
+    score: jax.Array
+    valid: jax.Array
+
+
+jax.tree_util.register_pytree_node(
+    People,
+    lambda p: ((p.coords, p.part_score, p.score, p.valid), None),
+    lambda _, c: People(*c),
+)
+
+
+def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
+                      thresh_vector_cnt: int = 6
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Score all (pair, ia, ib) candidates.
+
+    paf: (h, w, 38) low-res PAF.  Returns (scores, valid), both
+    (NUM_GROUP_PAIRS, K, K); scores are criterion2 values
+    (reference pafprocess.cpp:56-92).
+    """
+    h, w, _ = paf.shape
+    h_up = h * factor
+    K = peaks.x.shape[1]
+
+    ax = peaks.x[_PAIR_A].astype(jnp.float32)      # (19, K)
+    ay = peaks.y[_PAIR_A].astype(jnp.float32)
+    bx = peaks.x[_PAIR_B].astype(jnp.float32)
+    by = peaks.y[_PAIR_B].astype(jnp.float32)
+    va = peaks.valid[_PAIR_A]
+    vb = peaks.valid[_PAIR_B]
+
+    dx = bx[:, None, :] - ax[:, :, None]           # (19, K_a, K_b)
+    dy = by[:, None, :] - ay[:, :, None]
+    norm = jnp.sqrt(dx * dx + dy * dy)
+    nz = norm >= 1e-12
+    ux = jnp.where(nz, dx / jnp.maximum(norm, 1e-12), 0.0)
+    uy = jnp.where(nz, dy / jnp.maximum(norm, 1e-12), 0.0)
+
+    s = jnp.arange(STEP_PAF, dtype=jnp.float32)    # (10,)
+    # integer sample coords: int(ax + s*dx/10 + 0.5), truncation like C++
+    lx = (ax[:, :, None, None] + s * dx[..., None] / STEP_PAF + 0.5
+          ).astype(jnp.int32)                      # (19, Ka, Kb, 10)
+    ly = (ay[:, :, None, None] + s * dy[..., None] / STEP_PAF + 0.5
+          ).astype(jnp.int32)
+    # nearest-upsample sampling == low-res index division
+    gx = jnp.clip(lx // factor, 0, w - 1)
+    gy = jnp.clip(ly // factor, 0, h - 1)
+    base = gy * (w * 38) + gx * 38
+    paf_flat = paf.reshape(-1)
+    chx = _PAIR_CHX[:, None, None, None]
+    chy = _PAIR_CHY[:, None, None, None]
+    px = jnp.take(paf_flat, base + chx)
+    py = jnp.take(paf_flat, base + chy)
+    sample_score = ux[..., None] * px + uy[..., None] * py  # (19,Ka,Kb,10)
+
+    cnt = jnp.sum(sample_score > THRESH_VECTOR_SCORE, axis=-1)
+    mean = jnp.mean(sample_score, axis=-1)
+    crit2 = mean + jnp.minimum(0.0, 0.5 * h_up / jnp.maximum(norm, 1e-12)
+                               - 1.0)
+    valid = (va[:, :, None] & vb[:, None, :] & nz
+             & (cnt > thresh_vector_cnt) & (crit2 > 0))
+    return crit2, valid
+
+
+def greedy_connections(scores: jax.Array, valid: jax.Array,
+                       max_conns: int = 128
+                       ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Greedy 1-1 assignment per pair over score-sorted candidates.
+
+    Returns per-pair connection slots (pair-major acceptance order):
+    (conn_ia, conn_ib, conn_score, conn_valid), each (19, K).
+    """
+    P, Ka, Kb = scores.shape
+    K = Ka
+    flat_scores = jnp.where(valid, scores, -jnp.inf).reshape(P, Ka * Kb)
+    C = min(max_conns, Ka * Kb)
+    top_scores, top_idx = jax.lax.top_k(flat_scores, C)   # (19, C) desc
+    top_ia = top_idx // Kb
+    top_ib = top_idx % Kb
+    top_valid = jnp.isfinite(top_scores)
+
+    def step(state, c):
+        used_a, used_b, n_acc = state
+        ia = top_ia[:, c]
+        ib = top_ib[:, c]
+        ok = (top_valid[:, c]
+              & ~jnp.take_along_axis(used_a, ia[:, None], 1)[:, 0]
+              & ~jnp.take_along_axis(used_b, ib[:, None], 1)[:, 0])
+        used_a = used_a | (jax.nn.one_hot(ia, K, dtype=bool) & ok[:, None])
+        used_b = used_b | (jax.nn.one_hot(ib, K, dtype=bool) & ok[:, None])
+        slot = jnp.where(ok, n_acc, K)  # K = overflow (dropped)
+        n_acc = n_acc + ok.astype(jnp.int32)
+        return (used_a, used_b, n_acc), (ok, slot)
+
+    init = (jnp.zeros((P, K), bool), jnp.zeros((P, K), bool),
+            jnp.zeros((P,), jnp.int32))
+    _, (acc, slots) = jax.lax.scan(step, init, jnp.arange(C))
+    acc = acc.T          # (19, C)
+    slots = slots.T      # (19, C) target slot in [0, K)
+
+    conn_ia = jnp.full((P, K + 1), 0, jnp.int32)
+    conn_ib = jnp.full((P, K + 1), 0, jnp.int32)
+    conn_score = jnp.zeros((P, K + 1), jnp.float32)
+    conn_valid = jnp.zeros((P, K + 1), bool)
+    rows = jnp.arange(P)[:, None]
+    conn_ia = conn_ia.at[rows, slots].set(jnp.where(acc, top_ia, 0))
+    conn_ib = conn_ib.at[rows, slots].set(jnp.where(acc, top_ib, 0))
+    conn_score = conn_score.at[rows, slots].set(
+        jnp.where(acc, top_scores, 0.0))
+    conn_valid = conn_valid.at[rows, slots].set(acc)
+    return (conn_ia[:, :K], conn_ib[:, :K], conn_score[:, :K],
+            conn_valid[:, :K])
+
+
+def assemble_people(conn_ia, conn_ib, conn_score, conn_valid,
+                    peaks: Peaks, *, max_people: int = 64,
+                    min_part_cnt: int = 4, min_human_score: float = 0.3,
+                    max_total_conns: int = 160) -> People:
+    """Sequential person assembly (reference pafprocess.cpp:127-191).
+
+    Consumes connections in (pair, acceptance-slot) order through one
+    `lax.scan` over a compacted fixed-length list.
+    """
+    K = peaks.x.shape[1]
+    Pp = max_people
+    score_flat = peaks.score.reshape(-1)      # (18*K,)
+    x_flat = peaks.x.reshape(-1)
+    y_flat = peaks.y.reshape(-1)
+
+    # 1-based global cids
+    part_a = jnp.asarray(_PAIR_A)
+    part_b = jnp.asarray(_PAIR_B)
+    k_idx = jnp.arange(K)[None, :]
+    cid1 = (part_a[:, None] * K + conn_ia + 1).astype(jnp.float32)
+    cid2 = (part_b[:, None] * K + conn_ib + 1).astype(jnp.float32)
+    ps1 = score_flat[part_a[:, None] * K + conn_ia]
+    ps2 = score_flat[part_b[:, None] * K + conn_ib]
+    del k_idx
+
+    # Compact (19, K) conns -> length-M list preserving order.
+    M = min(max_total_conns, NUM_GROUP_PAIRS * K)
+    flat_valid = conn_valid.reshape(-1)
+    pos = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
+    pos = jnp.where(flat_valid & (pos < M), pos, M)  # M = dropped
+
+    def compact(x, fill):
+        out = jnp.full((M + 1,), fill, x.dtype)
+        return out.at[pos].set(x.reshape(-1))[:M]
+
+    pair_of = jnp.repeat(jnp.arange(NUM_GROUP_PAIRS, dtype=jnp.int32), K)
+    c_pair = compact(pair_of, NUM_GROUP_PAIRS)
+    c_cid1 = compact(cid1, 0.0)
+    c_cid2 = compact(cid2, 0.0)
+    c_ps1 = compact(ps1, 0.0)
+    c_ps2 = compact(ps2, 0.0)
+    c_score = compact(conn_score, 0.0)
+    c_valid = compact(flat_valid, False)
+
+    subset0 = jnp.full((Pp, 20), -1.0, jnp.float32)
+    subset0 = subset0.at[:, 19].set(0.0)   # count 0 == dead row
+
+    def step(state, inp):
+        subset, next_slot = state
+        pair, k1, k2, s1p, s2p, cscore, cvalid = inp
+        p1 = part_a[jnp.minimum(pair, NUM_GROUP_PAIRS - 1)]
+        p2 = part_b[jnp.minimum(pair, NUM_GROUP_PAIRS - 1)]
+        alive = subset[:, 19] > 0
+        col1 = jnp.take(subset, p1, axis=1)
+        col2 = jnp.take(subset, p2, axis=1)
+        match = alive & ((col1 == k1) | (col2 == k2))
+        found = jnp.sum(match.astype(jnp.int32))
+        idxs = jnp.arange(Pp)
+        s1 = jnp.argmax(match)
+        match2 = match & (idxs != s1)
+        s2 = jnp.argmax(match2)
+
+        r1 = subset[s1]
+        r2 = subset[s2]
+        membership = jnp.any((r1[:NUM_PARTS] > 0) & (r2[:NUM_PARTS] > 0))
+
+        is_seed = pair < NUM_SEED_PAIRS
+        can_new = next_slot < Pp
+        b_new = cvalid & (found == 0) & is_seed & can_new
+        b_ext1 = cvalid & (found == 1)
+        b_ext2 = cvalid & (found >= 2) & membership
+        b_merge = cvalid & (found >= 2) & ~membership
+
+        # --- new row
+        new_row = jnp.full((20,), -1.0).at[p1].set(k1).at[p2].set(k2)
+        new_row = new_row.at[19].set(2.0).at[18].set(s1p + s2p + cscore)
+        subset_new = jnp.where(
+            b_new,
+            subset.at[jnp.minimum(next_slot, Pp - 1)].set(new_row),
+            subset)
+
+        # --- extend row s1 (guarded when found==1; unconditional when
+        # found>=2 with membership, matching pafprocess.cpp:146-151,168-172)
+        do_set = b_ext2 | (b_ext1 & (r1[p2] != k2))
+        ext_row = r1.at[p2].set(k2)
+        ext_row = ext_row.at[19].add(1.0).at[18].add(s2p + cscore)
+        subset_ext = jnp.where(do_set, subset_new.at[s1].set(ext_row),
+                               subset_new)
+
+        # --- merge rows s1 <- s2, kill s2
+        merged = r1.at[:NUM_PARTS].add(r2[:NUM_PARTS] + 1.0)
+        merged = merged.at[19].add(r2[19]).at[18].add(r2[18] + cscore)
+        dead = jnp.full((20,), -1.0).at[19].set(0.0)
+        subset_mrg = subset_ext.at[s1].set(
+            jnp.where(b_merge, merged, subset_ext[s1]))
+        subset_mrg = subset_mrg.at[s2].set(
+            jnp.where(b_merge, dead, subset_mrg[s2]))
+
+        next_slot = next_slot + b_new.astype(jnp.int32)
+        return (subset_mrg, next_slot), None
+
+    inputs = (c_pair, c_cid1, c_cid2, c_ps1, c_ps2, c_score, c_valid)
+    (subset, _), _ = jax.lax.scan(step, (subset0, jnp.int32(0)), inputs)
+
+    count = subset[:, 19]
+    ssum = subset[:, 18]
+    person_valid = ((count >= min_part_cnt)
+                    & (ssum / jnp.maximum(count, 1.0) >= min_human_score)
+                    & (count > 0))
+    cids = subset[:, :NUM_PARTS].astype(jnp.int32)     # 1-based or -1
+    has = cids > 0
+    flat_cid = jnp.clip(cids - 1, 0, NUM_PARTS * K - 1)
+    coords = jnp.stack([
+        jnp.where(has, x_flat[flat_cid], -1),
+        jnp.where(has, y_flat[flat_cid], -1)], axis=-1).astype(jnp.int32)
+    part_score = jnp.where(has, score_flat[flat_cid], 0.0)
+    return People(coords=coords, part_score=part_score,
+                  score=ssum / jnp.maximum(count, 1.0),
+                  valid=person_valid)
+
+
+def group_peaks_device(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
+                       thresh_vector_cnt: int = 6, max_people: int = 64,
+                       min_part_cnt: int = 4, min_human_score: float = 0.3,
+                       max_candidates: int = 128,
+                       max_total_conns: int = 160) -> People:
+    """peaks + low-res PAF -> fixed-shape people."""
+    scores, valid = score_connections(peaks, paf, factor=factor,
+                                      thresh_vector_cnt=thresh_vector_cnt)
+    conns = greedy_connections(scores, valid, max_conns=max_candidates)
+    return assemble_people(*conns, peaks, max_people=max_people,
+                           min_part_cnt=min_part_cnt,
+                           min_human_score=min_human_score,
+                           max_total_conns=max_total_conns)

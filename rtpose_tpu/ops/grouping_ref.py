@@ -168,26 +168,31 @@ def group_peaks(joint_list: np.ndarray, heat_up_shape: Tuple[int, int],
         b_ids = bucket[GROUP_PAIRS[pair_id][1]]
         ch_x, ch_y = GROUP_PAIRS_NET[pair_id]
         cands = []  # (score, idx_a, idx_b)
+        f32 = np.float32
         for ia, ca in enumerate(a_ids):
             for ib, cb in enumerate(b_ids):
-                dx = float(peak_x[cb] - peak_x[ca])
-                dy = float(peak_y[cb] - peak_y[ca])
-                norm = float(np.sqrt(dx * dx + dy * dy))
+                # float32 arithmetic throughout, matching the C++ module
+                # (and the on-device float32 kernel).
+                dx = f32(peak_x[cb] - peak_x[ca])
+                dy = f32(peak_y[cb] - peak_y[ca])
+                norm = f32(np.sqrt(dx * dx + dy * dy))
                 if norm < 1e-12:
                     continue
-                ux, uy = dx / norm, dy / norm
+                ux, uy = f32(dx / norm), f32(dy / norm)
                 # 10 samples at rounded integer coords
                 # (reference pafprocess.cpp:220-241).
-                scores = 0.0
+                scores = f32(0.0)
                 crit1 = 0
                 for s in range(STEP_PAF):
-                    lx = int(peak_x[ca] + s * dx / STEP_PAF + 0.5)
-                    ly = int(peak_y[ca] + s * dy / STEP_PAF + 0.5)
-                    sc = ux * paf_up[ly, lx, ch_x] + uy * paf_up[ly, lx, ch_y]
-                    scores += sc
+                    lx = int(peak_x[ca] + f32(s * dx / STEP_PAF) + 0.5)
+                    ly = int(peak_y[ca] + f32(s * dy / STEP_PAF) + 0.5)
+                    sc = f32(ux * paf_up[ly, lx, ch_x]
+                             + uy * paf_up[ly, lx, ch_y])
+                    scores = f32(scores + sc)
                     if sc > THRESH_VECTOR_SCORE:
                         crit1 += 1
-                crit2 = scores / STEP_PAF + min(0.0, 0.5 * h_up / norm - 1.0)
+                crit2 = f32(scores / STEP_PAF
+                            + min(0.0, 0.5 * h_up / float(norm) - 1.0))
                 if crit1 > THRESH_VECTOR_CNT1 and crit2 > 0:
                     cands.append((crit2, ia, ib))
         # stable sort desc by score (reference pafprocess.cpp:97)

@@ -1,0 +1,194 @@
+"""On-device peak NMS with sub-pixel refinement (XLA, fixed shapes).
+
+TPU-native re-expression of the host NMS (reference
+lib/utils/paf_to_pose.py:67-145):
+
+- local maxima under a 4-connected footprint above threshold: one
+  `lax.reduce_window` max + compare — no scipy.
+- top-K peaks per part (fixed K) with a validity mask instead of ragged
+  per-part lists.
+- sub-pixel refinement: the reference upsamples a clipped 5x5 patch around
+  each peak with cv2 INTER_CUBIC (A=-0.75) x8 and takes the argmax.  Here
+  that becomes two tiny matmuls per peak with precomputed interpolation
+  matrices (one per possible clipped patch height 3/4/5), vmapped over all
+  peaks — identical values to cv2's float path, verified in
+  tests/test_peaks_device.py.
+
+All outputs are fixed-shape arrays: x/y int32 coords in the upsampled frame
+(float coords truncated, matching the C++ Peak struct int cast,
+reference pafprocess.cpp:30-32), float scores, bool validity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..skeleton import NUM_PARTS
+
+_WIN = 2          # 5x5 patch, reference paf_to_pose.py:100
+_PATCH = 2 * _WIN + 1
+
+
+@dataclasses.dataclass
+class Peaks:
+    """Fixed-shape per-part peak set.  All arrays (num_parts, K)."""
+    x: jax.Array        # int32, upsampled-frame column (truncated)
+    y: jax.Array        # int32, upsampled-frame row (truncated)
+    xf: jax.Array       # float32 refined column (pre-truncation)
+    yf: jax.Array       # float32 refined row
+    score: jax.Array    # float32 refined peak score
+    valid: jax.Array    # bool
+
+
+jax.tree_util.register_pytree_node(
+    Peaks,
+    lambda p: ((p.x, p.y, p.xf, p.yf, p.score, p.valid), None),
+    lambda _, c: Peaks(*c),
+)
+
+
+def _cubic_weights(t: np.ndarray) -> np.ndarray:
+    """cv2 bicubic (Catmull-Rom family, A=-0.75) weights for fraction t.
+
+    Returns (..., 4) weights for taps at offsets (-1, 0, 1, 2).
+    """
+    A = -0.75
+    w0 = ((A * (t + 1) - 5 * A) * (t + 1) + 8 * A) * (t + 1) - 4 * A
+    w1 = ((A + 2) * t - (A + 3)) * t * t + 1
+    tt = 1 - t
+    w2 = ((A + 2) * tt - (A + 3)) * tt * tt + 1
+    w3 = 1.0 - w0 - w1 - w2
+    return np.stack([w0, w1, w2, w3], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrices(factor: int) -> np.ndarray:
+    """(3, PATCH*factor, PATCH) matrices M[p] for patch extents 3/4/5.
+
+    Upsampling a length-`n` patch by `factor` evaluates output index i at
+    source coordinate (i + 0.5)/factor - 0.5 with 4 bicubic taps, indices
+    clamped to [0, n-1] (cv2 border replication).  M[p][i, r] accumulates
+    the tap weights that land on source row r for extent n = p + 3.
+    Rows i >= n*factor are invalid (masked downstream).
+    """
+    out = np.zeros((3, _PATCH * factor, _PATCH), dtype=np.float32)
+    i = np.arange(_PATCH * factor)
+    src = (i + 0.5) / factor - 0.5
+    f = np.floor(src).astype(np.int64)
+    t = src - f
+    w = _cubic_weights(t)  # (len, 4)
+    for p, n in enumerate((3, 4, 5)):
+        for k in range(4):
+            r = np.clip(f - 1 + k, 0, n - 1)
+            np.add.at(out[p], (i, r), w[:, k])
+        out[p, n * factor:, :] = 0.0
+    return out
+
+
+def find_peak_mask(heat: jax.Array, thresh: float) -> jax.Array:
+    """4-connected local-max mask (reference paf_to_pose.py:25-38).
+
+    heat: (..., H, W).  scipy's maximum_filter uses reflect padding; -inf
+    padding is equivalent here because the center pixel is in the footprint
+    (max >= center always; border reflection only re-adds in-bounds values).
+    """
+    # 4-connected footprint (not the full 3x3): build the neighbor cross
+    # from shifts; -inf padding is equivalent to scipy's reflect mode here
+    # because a reflected border neighbor equals the center pixel, which
+    # never breaks the `center >= neighbors` test.
+    up = jnp.pad(heat, [(0, 0)] * (heat.ndim - 2) + [(1, 0), (0, 0)],
+                 constant_values=-jnp.inf)[..., :-1, :]
+    down = jnp.pad(heat, [(0, 0)] * (heat.ndim - 2) + [(0, 1), (0, 0)],
+                   constant_values=-jnp.inf)[..., 1:, :]
+    left = jnp.pad(heat, [(0, 0)] * (heat.ndim - 2) + [(0, 0), (1, 0)],
+                   constant_values=-jnp.inf)[..., :, :-1]
+    right = jnp.pad(heat, [(0, 0)] * (heat.ndim - 2) + [(0, 0), (0, 1)],
+                    constant_values=-jnp.inf)[..., :, 1:]
+    cross_max = jnp.maximum(jnp.maximum(up, down),
+                            jnp.maximum(left, right))
+    return (heat >= cross_max) & (heat > thresh)
+
+
+def _refine(heat_part: jax.Array, py: jax.Array, px: jax.Array,
+            factor: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Sub-pixel refinement of one peak on one (H, W) map.
+
+    Returns (xf, yf, score) in the upsampled frame
+    (reference paf_to_pose.py:106-141).
+    """
+    H, W = heat_part.shape
+    y_min = jnp.maximum(0, py - _WIN)
+    y_max = jnp.minimum(H - 1, py + _WIN)
+    x_min = jnp.maximum(0, px - _WIN)
+    x_max = jnp.minimum(W - 1, px + _WIN)
+    ph = y_max - y_min + 1
+    pw = x_max - x_min + 1
+
+    ry = jnp.arange(_PATCH)
+    rx = jnp.arange(_PATCH)
+    rows = jnp.clip(y_min + ry, 0, H - 1)
+    cols = jnp.clip(x_min + rx, 0, W - 1)
+    patch = heat_part[rows[:, None], cols[None, :]]
+    patch = jnp.where((ry[:, None] < ph) & (rx[None, :] < pw), patch, 0.0)
+
+    mats = jnp.asarray(_interp_matrices(factor))   # (3, P*f, P)
+    My = mats[ph - 3]                              # (P*f, P)
+    Mx = mats[pw - 3]
+    up = My @ patch @ Mx.T                         # (P*f, P*f)
+
+    n = _PATCH * factor
+    iy = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    valid = (iy < ph * factor) & (ix < pw * factor)
+    up_masked = jnp.where(valid, up, -jnp.inf)
+    flat_idx = jnp.argmax(up_masked.reshape(-1))
+    my = flat_idx // n
+    mx = flat_idx % n
+    score = up.reshape(-1)[flat_idx]
+
+    # Row-major first-max parity with numpy argmax on the (ph*f, pw*f)
+    # array: masking preserves row-major order of valid entries.
+    cy = (py - y_min + 0.5) * factor - 0.5
+    cx = (px - x_min + 0.5) * factor - 0.5
+    yf = (py + 0.5) * factor - 0.5 + (my - cy)
+    xf = (px + 0.5) * factor - 0.5 + (mx - cx)
+    return xf, yf, score
+
+
+def nms(heatmaps: jax.Array, *, factor: int = 8, thresh: float = 0.1,
+        max_peaks: int = 32, refine: bool = True) -> Peaks:
+    """Fixed-shape NMS over (H, W, C>=num_parts) heatmaps.
+
+    Top-`max_peaks` per part by score (the reference keeps all peaks;
+    images essentially never exceed ~20 per part).
+    """
+    heat = jnp.moveaxis(heatmaps[..., :NUM_PARTS], -1, 0)  # (parts, H, W)
+    H, W = heat.shape[-2:]
+    mask = find_peak_mask(heat, thresh)
+    masked = jnp.where(mask, heat, -jnp.inf)
+    flat = masked.reshape(NUM_PARTS, H * W)
+    scores0, idx = jax.lax.top_k(flat, max_peaks)      # (parts, K)
+    py = (idx // W).astype(jnp.int32)
+    px = (idx % W).astype(jnp.int32)
+    valid = scores0 > thresh
+
+    if refine:
+        ref_fn = jax.vmap(jax.vmap(_refine, in_axes=(None, 0, 0, None)),
+                          in_axes=(0, 0, 0, None))
+        xf, yf, score = ref_fn(heat, py, px, factor)
+    else:
+        xf = (px + 0.5) * factor - 0.5
+        yf = (py + 0.5) * factor - 0.5
+        score = scores0
+
+    xf = jnp.where(valid, xf, 0.0)
+    yf = jnp.where(valid, yf, 0.0)
+    score = jnp.where(valid, score, 0.0)
+    return Peaks(x=xf.astype(jnp.int32), y=yf.astype(jnp.int32),
+                 xf=xf, yf=yf, score=score, valid=valid)

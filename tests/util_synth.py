@@ -81,4 +81,8 @@ def synth_example(seed=0, n_people=3, h=46, w=46):
     rng = np.random.RandomState(seed)
     people = random_people(rng, n_people, h, w)
     heat, paf = render_maps(people, h, w)
+    # break exact score ties (idealized parallel unit-vector PAFs can make
+    # two candidate connections score identically, which real CNN outputs
+    # never do; greedy order under exact ties is enumeration-dependent)
+    paf = paf + rng.normal(0, 1e-4, paf.shape).astype(np.float32)
     return people, heat, paf
