@@ -1,0 +1,236 @@
+"""Native COCO keypoint evaluation (OKS-based AP/AR).
+
+A from-scratch implementation of the COCO keypoint evaluation protocol
+(the pycocotools COCOeval 'keypoints' task the reference calls in
+evaluate/coco_eval.py:55-75), since pycocotools is not available in this
+environment.  Matches the protocol:
+
+- OKS(dt, gt) = mean over labeled gt keypoints of
+  exp(-d_i^2 / (2 * area * (2*sigma_i)^2))
+- per image: detections sorted by score desc (maxDets=20) greedily matched
+  to the best remaining gt with OKS above each of the 10 thresholds
+  .50:.05:.95; crowd/unlabeled gts are ignore-matches
+- accumulate: precision interpolated over 101 recall points, averaged over
+  thresholds / area ranges {all, medium [32^2,96^2], large [96^2,1e10]}
+- stats vector = [AP, AP50, AP75, APm, APl, AR, AR50, AR75, ARm, ARl]
+
+Verified against hand-computable fixtures in tests/test_cocoeval.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..skeleton import COCO_SIGMAS
+
+OKS_THRESHOLDS = np.round(np.arange(0.5, 1.0, 0.05), 2)   # 10 thresholds
+RECALL_THRESHOLDS = np.linspace(0.0, 1.0, 101)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+MAX_DETS = 20
+
+
+def compute_oks(dt_kps: np.ndarray, gt_kps: np.ndarray, gt_area: float,
+                gt_bbox: Optional[Sequence[float]] = None,
+                sigmas: np.ndarray = COCO_SIGMAS) -> float:
+    """OKS between one detection and one gt (both (17, 3) [x, y, v])."""
+    vars_ = (2.0 * sigmas) ** 2
+    vis = gt_kps[:, 2] > 0
+    xd, yd = dt_kps[:, 0], dt_kps[:, 1]
+    xg, yg = gt_kps[:, 0], gt_kps[:, 1]
+    if vis.sum() > 0:
+        dx = xd - xg
+        dy = yd - yg
+    else:
+        # no labeled keypoints: measure distance to an expanded bbox
+        if gt_bbox is None:
+            return 0.0
+        x0, y0, w, h = gt_bbox
+        z = np.zeros(len(sigmas))
+        dx = np.maximum(z, x0 - 2 * w - xd) + np.maximum(z, xd - x0 - 3 * w)
+        dy = np.maximum(z, y0 - 2 * h - yd) + np.maximum(z, yd - y0 - 3 * h)
+        vis = np.ones(len(sigmas), bool)
+    e = (dx ** 2 + dy ** 2) / vars_ / (gt_area + np.spacing(1)) / 2.0
+    return float(np.mean(np.exp(-e[vis])))
+
+
+@dataclasses.dataclass
+class _ImgEval:
+    """Per-(image, areaRng) match matrices: (T, G) / (T, D)."""
+    dt_matches: np.ndarray   # (T, D) matched gt id or 0
+    dt_ignore: np.ndarray    # (T, D) bool
+    gt_ignore: np.ndarray    # (G,) bool
+    dt_scores: np.ndarray    # (D,)
+
+
+def _evaluate_image(gts: List[dict], dts: List[dict],
+                    area_rng: Tuple[float, float],
+                    sigmas: np.ndarray) -> Optional[_ImgEval]:
+    if not gts and not dts:
+        return None
+    gt_ignore_base = np.array(
+        [bool(g.get("iscrowd", 0)) or g.get("num_keypoints", 0) == 0
+         for g in gts], bool)
+    gt_area = np.array([g.get("area", 0.0) for g in gts])
+    gt_out_of_range = (gt_area < area_rng[0]) | (gt_area > area_rng[1])
+    gt_ig = gt_ignore_base | gt_out_of_range
+
+    # sort gts: non-ignored first (stable), like pycocotools
+    g_order = np.argsort(gt_ig, kind="stable")
+    gts = [gts[i] for i in g_order]
+    gt_ig = gt_ig[g_order]
+
+    dt_scores = np.array([d.get("score", 0.0) for d in dts])
+    d_order = np.argsort(-dt_scores, kind="stable")[:MAX_DETS]
+    dts = [dts[i] for i in d_order]
+    dt_scores = dt_scores[d_order]
+
+    G, D, T = len(gts), len(dts), len(OKS_THRESHOLDS)
+    ious = np.zeros((D, G))
+    for di, dt in enumerate(dts):
+        dkp = np.asarray(dt["keypoints"], float).reshape(-1, 3)
+        for gi, gt in enumerate(gts):
+            gkp = np.asarray(gt["keypoints"], float).reshape(-1, 3)
+            ious[di, gi] = compute_oks(dkp, gkp, gt.get("area", 0.0),
+                                       gt.get("bbox"), sigmas)
+
+    dt_m = np.zeros((T, D), dtype=np.int64)
+    gt_m = np.zeros((T, G), dtype=np.int64)
+    dt_ig = np.zeros((T, D), bool)
+    for ti, thr in enumerate(OKS_THRESHOLDS):
+        for di in range(D):
+            best_iou = min(thr, 1 - 1e-10)
+            best_gi = -1
+            for gi in range(G):
+                if gt_m[ti, gi] and not gts[gi].get("iscrowd", 0):
+                    continue
+                # stop at ignored gts once a real match was found
+                if best_gi > -1 and not gt_ig[best_gi] and gt_ig[gi]:
+                    break
+                if ious[di, gi] < best_iou:
+                    continue
+                best_iou = ious[di, gi]
+                best_gi = gi
+            if best_gi == -1:
+                continue
+            dt_ig[ti, di] = gt_ig[best_gi]
+            dt_m[ti, di] = gts[best_gi]["id"]
+            gt_m[ti, best_gi] = dts[di]["id"]
+
+    # unmatched dts whose area is out of range are ignored
+    dt_areas = np.array([
+        d.get("area", _kp_area(d)) for d in dts])
+    out_of_range = (dt_areas < area_rng[0]) | (dt_areas > area_rng[1])
+    dt_ig = dt_ig | ((dt_m == 0) & out_of_range[None, :])
+
+    return _ImgEval(dt_matches=dt_m, dt_ignore=dt_ig, gt_ignore=gt_ig,
+                    dt_scores=dt_scores)
+
+
+def _kp_area(dt: dict) -> float:
+    """Detection 'area' proxy: tight bbox of predicted keypoints
+    (pycocotools uses the result's bbox when present; keypoint results
+    without bbox fall back to the keypoint extent)."""
+    kps = np.asarray(dt["keypoints"], float).reshape(-1, 3)
+    pts = kps[kps[:, 2] > 0] if (kps[:, 2] > 0).any() else kps
+    w = pts[:, 0].max() - pts[:, 0].min()
+    h = pts[:, 1].max() - pts[:, 1].min()
+    return float(w * h)
+
+
+def _accumulate(evals: List[Optional[_ImgEval]]) -> Dict[str, float]:
+    T = len(OKS_THRESHOLDS)
+    R = len(RECALL_THRESHOLDS)
+    evals = [e for e in evals if e is not None]
+    if not evals:
+        return {"AP": -1.0, "AR": -1.0, "precision": np.zeros((T, R)),
+                "recall": np.zeros(T)}
+    scores = np.concatenate([e.dt_scores for e in evals])
+    order = np.argsort(-scores, kind="stable")
+    dtm = np.concatenate([e.dt_matches for e in evals], axis=1)[:, order]
+    dtig = np.concatenate([e.dt_ignore for e in evals], axis=1)[:, order]
+    n_gt = sum(int((~e.gt_ignore).sum()) for e in evals)
+    if n_gt == 0:
+        return {"AP": -1.0, "AR": -1.0, "precision": np.zeros((T, R)),
+                "recall": np.zeros(T)}
+
+    tps = (dtm > 0) & ~dtig
+    fps = (dtm == 0) & ~dtig
+    tp_cum = np.cumsum(tps, axis=1).astype(float)
+    fp_cum = np.cumsum(fps, axis=1).astype(float)
+
+    precision = np.zeros((T, R))
+    recall = np.zeros(T)
+    for ti in range(T):
+        tp = tp_cum[ti]
+        fp = fp_cum[ti]
+        rc = tp / n_gt
+        pr = tp / np.maximum(tp + fp, np.spacing(1))
+        recall[ti] = rc[-1] if len(rc) else 0.0
+        # monotone interpolation from the right
+        pr = pr.tolist()
+        for i in range(len(pr) - 1, 0, -1):
+            pr[i - 1] = max(pr[i - 1], pr[i])
+        inds = np.searchsorted(rc, RECALL_THRESHOLDS, side="left")
+        q = np.zeros(R)
+        for ri, pi in enumerate(inds):
+            if pi < len(pr):
+                q[ri] = pr[pi]
+        precision[ti] = q
+
+    return {"AP": float(np.mean(precision)),
+            "AR": float(np.mean(recall)),
+            "precision": precision, "recall": recall}
+
+
+def evaluate_keypoints(gt_anns_by_image: Dict[int, List[dict]],
+                       dt_by_image: Dict[int, List[dict]],
+                       img_ids: Optional[Sequence[int]] = None,
+                       sigmas: np.ndarray = COCO_SIGMAS
+                       ) -> Dict[str, float]:
+    """Full evaluation; returns the 10-entry COCO stats dict.
+
+    gt_anns_by_image: image_id -> COCO annotation dicts (keypoints task)
+    dt_by_image: image_id -> result dicts {image_id, keypoints (51), score}
+    """
+    if img_ids is None:
+        img_ids = sorted(gt_anns_by_image)
+    # assign ids to detections (1-based, globally unique)
+    next_id = 1
+    for img_id in img_ids:
+        for d in dt_by_image.get(img_id, []):
+            d.setdefault("id", next_id)
+            next_id += 1
+
+    stats: Dict[str, float] = {}
+    per_area: Dict[str, Dict[str, np.ndarray]] = {}
+    for name, rng in AREA_RANGES.items():
+        evals = [_evaluate_image(gt_anns_by_image.get(i, []),
+                                 dt_by_image.get(i, []), rng, sigmas)
+                 for i in img_ids]
+        per_area[name] = _accumulate(evals)
+
+    p_all = per_area["all"]["precision"]
+    r_all = per_area["all"]["recall"]
+
+    def _ap(p):
+        valid = p > -1
+        return float(np.mean(p[valid])) if valid.any() else -1.0
+
+    stats["AP"] = per_area["all"]["AP"]
+    stats["AP50"] = _ap(p_all[0])
+    stats["AP75"] = _ap(p_all[5])
+    stats["APm"] = per_area["medium"]["AP"]
+    stats["APl"] = per_area["large"]["AP"]
+    stats["AR"] = per_area["all"]["AR"]
+    stats["AR50"] = float(r_all[0])
+    stats["AR75"] = float(r_all[5])
+    stats["ARm"] = per_area["medium"]["AR"]
+    stats["ARl"] = per_area["large"]["AR"]
+    return stats

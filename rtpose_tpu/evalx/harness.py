@@ -1,0 +1,101 @@
+"""COCO validation harness: model -> results JSON -> OKS stats.
+
+TPU-native analogue of reference evaluate/coco_eval.py:245-283 (run_eval)
+with flip TTA fused into the jitted forward (see infer/pipeline.py) and the
+native OKS evaluator (evalx/cocoeval.py) instead of pycocotools.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..data.coco_json import CocoJson
+from ..infer.pipeline import PosePipeline
+from ..skeleton import NUM_PARTS, ORDER_COCO
+from .cocoeval import evaluate_keypoints
+
+
+def person_to_coco_keypoints(person: Dict[str, Any],
+                             upsample_keypoints) -> np.ndarray:
+    """Map one decoded person to the 17-keypoint COCO layout.
+
+    Pixel convention x = x_norm * (W_up / scale) + 0.5 and the 18->17
+    reorder (reference evaluate/coco_eval.py:117-154).
+    upsample_keypoints: (H_up/scale, W_up/scale).
+    """
+    kps = np.zeros((NUM_PARTS, 3))
+    for part, (xn, yn, _score) in person["parts"].items():
+        kps[part, 0] = xn * upsample_keypoints[1] + 0.5
+        kps[part, 1] = yn * upsample_keypoints[0] + 0.5
+        kps[part, 2] = 1
+    return kps[list(ORDER_COCO), :]
+
+
+def append_result(image_id: int, people: List[Dict[str, Any]],
+                  upsample_keypoints, outputs: List[dict]) -> None:
+    """Append COCO result dicts (reference coco_eval.py:117-154; the
+    reference fixes score=1.0, kept for parity)."""
+    for person in people:
+        kps = person_to_coco_keypoints(person, upsample_keypoints)
+        outputs.append({
+            "image_id": image_id,
+            "category_id": 1,
+            "keypoints": [float(v) for v in kps.reshape(51)],
+            "score": 1.0,
+        })
+
+
+def run_eval(image_dir: str, ann_file: str, pipeline: PosePipeline, *,
+             vis_dir: Optional[str] = None,
+             img_ids: Optional[Sequence[int]] = None,
+             limit: Optional[int] = None,
+             results_path: Optional[str] = None) -> Dict[str, float]:
+    """Evaluate on COCO val images; returns the stats dict (stats['AP'] is
+    the headline mAP)."""
+    import cv2
+
+    coco = CocoJson(ann_file)
+    person_cats = coco.cat_ids("person")
+    if img_ids is None:
+        img_ids = coco.img_ids(person_cats)
+    img_ids = list(img_ids)[:limit] if limit else list(img_ids)
+
+    outputs: List[dict] = []
+    for i, img_id in enumerate(img_ids):
+        info = coco.image_info(img_id)
+        path = os.path.join(image_dir, info["file_name"])
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        people, heat, _paf, meta = pipeline.run(img)
+        h_up, w_up = meta["upsampled"]
+        scale = meta["scale"]
+        upsample_keypoints = (h_up / scale, w_up / scale)
+        append_result(img_id, people, upsample_keypoints, outputs)
+        if vis_dir:
+            from ..utils.draw import draw_people
+            out = draw_people(img, people, meta)
+            cv2.imwrite(os.path.join(vis_dir, info["file_name"]), out)
+        if i % 50 == 0 and i:
+            print(f"processed {i}/{len(img_ids)} images")
+
+    if results_path:
+        with open(results_path, "w") as f:
+            json.dump(outputs, f)
+    return eval_results(outputs, coco, img_ids)
+
+
+def eval_results(outputs: List[dict], coco: CocoJson,
+                 img_ids: Sequence[int]) -> Dict[str, float]:
+    """Score a results list against annotations (reference
+    coco_eval.py:55-75)."""
+    person_cats = coco.cat_ids("person")
+    gt_by_image = {i: coco.annotations(i, person_cats) for i in img_ids}
+    dt_by_image: Dict[int, List[dict]] = {}
+    for r in outputs:
+        dt_by_image.setdefault(r["image_id"], []).append(r)
+    return evaluate_keypoints(gt_by_image, dt_by_image, img_ids)
