@@ -1,0 +1,206 @@
+"""COCO keypoint dataset + batched prefetching loader.
+
+The TPU-native analogue of reference lib/datasets/datasets.py:95-311
+(CocoKeypoints): decode + augment on host workers, but synthesize the GT
+heatmaps/PAFs **on device** from padded keypoint arrays
+(data/gt.py ground_truth_maps_batch) — the reference burns 8 CPU worker
+processes on numpy GT synthesis per sample (SURVEY.md §3.1); we ship only
+(B, MAX_PEOPLE, 18, 3) keypoints to the chip and let the closed-form jax
+kernel do the rest.  Host-side synthesis remains available for parity
+(`host_gt=True`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+import PIL.Image
+
+from ..skeleton import COCO_TO_OURS, NUM_PARTS
+from . import transforms as T
+from .coco_json import CocoJson
+from .gt import ground_truth_maps
+
+MAX_PEOPLE_PER_IMAGE = 32
+
+
+def add_neck(kp17: np.ndarray) -> np.ndarray:
+    """(17, 3) COCO keypoints -> (18, 3) in our part order.
+
+    Neck synthesized as the shoulder midpoint; visible only if both
+    shoulders are labeled (reference lib/datasets/datasets.py:227-257,
+    including the round() of the synthesized row).
+    """
+    l_sho, r_sho = kp17[5], kp17[6]
+    neck = (l_sho + r_sho) / 2.0
+    if l_sho[2] == 2 and r_sho[2] == 2:
+        neck[2] = 2
+    else:
+        neck[2] = l_sho[2] * r_sho[2]
+    neck = np.round(neck)
+    ext = np.vstack([kp17, neck[None]])
+    return ext[list(COCO_TO_OURS), :]
+
+
+def remove_illegal_joints(kps: np.ndarray, input_x: int,
+                          input_y: int) -> np.ndarray:
+    """Zero out keypoints outside the crop
+    (reference datasets.py:216-225)."""
+    kps = kps.copy()
+    bad = ((kps[:, :, 0] >= input_x) | (kps[:, :, 0] < 0)
+           | (kps[:, :, 1] >= input_y) | (kps[:, :, 1] < 0))
+    kps[bad] = (-1.0, -1.0, 0.0)
+    return kps
+
+
+@dataclasses.dataclass
+class CocoKeypoints:
+    """Map-style dataset yielding dict samples.
+
+    keys: image (H, W, 3) float32 normalized; keypoints
+    (MAX_PEOPLE, 18, 3) float32 padded with v=0; optionally heatmaps/pafs
+    when host_gt.
+    """
+    image_dir: str
+    ann_file: str
+    preprocess: Optional[T.Transform] = None
+    input_size: int = 368
+    stride: int = 8
+    sigma: float = 7.0
+    host_gt: bool = False
+    all_images: bool = False
+    n_images: Optional[int] = None
+
+    def __post_init__(self):
+        self.coco = CocoJson(self.ann_file)
+        self.person_cats = self.coco.cat_ids("person")
+        if self.all_images:
+            self.ids = self.coco.img_ids()
+        else:
+            self.ids = self.coco.ids_with_keypoints(self.person_cats)
+        if self.n_images:
+            self.ids = self.ids[:self.n_images]
+        if self.preprocess is None:
+            self.preprocess = T.train_pipeline(self.input_size)
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def get(self, index: int, rng: np.random.Generator) -> Dict:
+        img_id = self.ids[index]
+        info = self.coco.image_info(img_id)
+        path = os.path.join(self.image_dir, info["file_name"])
+        with open(path, "rb") as f:
+            image = PIL.Image.open(f).convert("RGB")
+        anns = self.coco.annotations(img_id, self.person_cats)
+        kp17 = np.array([np.asarray(a["keypoints"], float).reshape(17, 3)
+                         for a in anns]) if anns else np.zeros((0, 17, 3))
+
+        sample = T.Sample.new(image, kp17)
+        sample = self.preprocess(sample, rng)
+
+        arr = T.image_to_tensor(sample.image)
+        arr = T.mask_valid_area(arr, sample.meta["valid_area"])
+
+        if len(sample.keypoints):
+            kps18 = np.stack([add_neck(k) for k in sample.keypoints])
+        else:
+            kps18 = np.zeros((0, NUM_PARTS, 3))
+        kps18 = remove_illegal_joints(kps18, self.input_size,
+                                      self.input_size)
+
+        padded = np.zeros((MAX_PEOPLE_PER_IMAGE, NUM_PARTS, 3), np.float32)
+        n = min(len(kps18), MAX_PEOPLE_PER_IMAGE)
+        padded[:n] = kps18[:n]
+
+        out = {"image": arr.astype(np.float32), "keypoints": padded,
+               "image_id": img_id}
+        if self.host_gt:
+            heat, paf = ground_truth_maps(
+                kps18, input_y=self.input_size, input_x=self.input_size,
+                stride=self.stride, sigma=self.sigma)
+            out["heatmaps"] = heat.astype(np.float32)
+            out["pafs"] = paf.astype(np.float32)
+        return out
+
+
+class Loader:
+    """Threaded shuffling prefetch loader producing numpy batches.
+
+    The analogue of torch DataLoader workers (reference
+    train/train_VGG19.py:62-64) without the torch dependency; each worker
+    owns a seeded Generator so runs are reproducible.
+    """
+
+    def __init__(self, dataset: CocoKeypoints, batch_size: int,
+                 shuffle: bool = True, num_workers: int = 4,
+                 seed: int = 0, drop_last: bool = True,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else \
+            (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.dataset))
+        rng = np.random.Generator(
+            np.random.Philox(self.seed + self.epoch))
+        if self.shuffle:
+            rng.shuffle(order)
+        self.epoch += 1
+
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, len(order), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker(worker_id: int):
+            wrng = np.random.Generator(
+                np.random.Philox([self.seed, self.epoch, worker_id]))
+            for bi in range(worker_id, len(batches), self.num_workers):
+                if stop.is_set():
+                    return
+                samples = [self.dataset.get(int(i), wrng)
+                           for i in batches[bi]]
+                batch = {k: np.stack([s[k] for s in samples])
+                         for k in samples[0]}
+                q.put((bi, batch))
+            q.put((None, None))
+
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        finished = 0
+        pending: Dict[int, Dict] = {}
+        next_bi = 0
+        try:
+            while finished < self.num_workers or pending:
+                if next_bi in pending:
+                    yield pending.pop(next_bi)
+                    next_bi += 1
+                    continue
+                bi, batch = q.get()
+                if bi is None:
+                    finished += 1
+                    continue
+                pending[bi] = batch
+        finally:
+            stop.set()

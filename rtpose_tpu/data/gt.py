@@ -1,0 +1,237 @@
+"""Ground-truth heatmap / PAF synthesis.
+
+Two implementations with identical outputs (tests/test_gt.py):
+
+- numpy host version with the reference's exact sequential semantics
+  (reference lib/datasets/heatmap.py:20-36, lib/datasets/paf.py:18-68,
+  lib/datasets/datasets.py:259-308)
+- a closed-form jax version, vmapped over persons/parts/limbs, for
+  device-side GT synthesis (sequential clamp-at-1 accumulation equals
+  min(sum, 1) for non-negative addends; the running PAF average equals
+  masked-sum / count) — this keeps the input pipeline off the host CPU,
+  which is the reference's throughput bottleneck (8 worker processes,
+  SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+from ..skeleton import LIMBS, NUM_HEATMAPS, NUM_LIMBS, NUM_PAF_CHANNELS, \
+    NUM_PARTS
+
+LN100 = 4.6052          # gaussian support cutoff (reference heatmap.py:30)
+LIMB_WIDTH = 1.0        # PAF half width in grid units (reference paf.py:22)
+
+
+# ---------------------------------------------------------------------------
+# numpy host implementation (reference-exact)
+# ---------------------------------------------------------------------------
+
+def put_gaussian_map(center, accum: np.ndarray, sigma: float,
+                     grid_y: int, grid_x: int, stride: int) -> np.ndarray:
+    """Add one keypoint gaussian, clamping at 1 (reference heatmap.py:20-36).
+
+    Grid sample i sits at pixel i*stride + stride/2 - 0.5.
+    """
+    start = stride / 2.0 - 0.5
+    xx, yy = np.meshgrid(np.arange(grid_x), np.arange(grid_y))
+    xx = xx * stride + start
+    yy = yy * stride + start
+    d2 = (xx - center[0]) ** 2 + (yy - center[1]) ** 2
+    exponent = d2 / 2.0 / sigma / sigma
+    g = np.where(exponent <= LN100, np.exp(-exponent), 0.0)
+    out = accum + g
+    return np.minimum(out, 1.0)
+
+
+def put_vec_map(center_a, center_b, accum: np.ndarray, count: np.ndarray,
+                grid_y: int, grid_x: int, stride: int
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Add one limb's unit-vector field with running average over overlaps
+    (reference paf.py:18-68)."""
+    a = np.asarray(center_a, float) / stride
+    b = np.asarray(center_b, float) / stride
+    vec = b - a
+    norm = np.linalg.norm(vec)
+    if norm == 0.0:
+        return accum, count
+    u = vec / norm
+
+    min_x = max(int(round(min(a[0], b[0]) - LIMB_WIDTH)), 0)
+    max_x = min(int(round(max(a[0], b[0]) + LIMB_WIDTH)), grid_x)
+    min_y = max(int(round(min(a[1], b[1]) - LIMB_WIDTH)), 0)
+    max_y = min(int(round(max(a[1], b[1]) + LIMB_WIDTH)), grid_y)
+    if min_x >= max_x or min_y >= max_y:
+        return accum, count
+
+    xs = np.arange(min_x, max_x)
+    ys = np.arange(min_y, max_y)
+    xx, yy = np.meshgrid(xs, ys)
+    ba_x = xx - a[0]
+    ba_y = yy - a[1]
+    dist = np.abs(ba_x * u[1] - ba_y * u[0])
+    mask = dist < LIMB_WIDTH
+
+    vec_map = np.zeros_like(accum)
+    vec_map[yy[mask], xx[mask], 0] = u[0]
+    vec_map[yy[mask], xx[mask], 1] = u[1]
+    covered = (np.abs(vec_map[:, :, 0]) > 0) | (np.abs(vec_map[:, :, 1]) > 0)
+
+    accum = accum * count[:, :, None]
+    accum = accum + vec_map
+    count = count + covered
+    divisor = np.maximum(count, 1)
+    accum = accum / divisor[:, :, None]
+    return accum, count
+
+
+def ground_truth_maps(keypoints: np.ndarray, *, input_y: int = 368,
+                      input_x: int = 368, stride: int = 8,
+                      sigma: float = 7.0
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, 18, 3) keypoints -> heatmaps (gy, gx, 19) + pafs (gy, gx, 38).
+
+    Reference lib/datasets/datasets.py:259-308: parts with v > 0.5 get a
+    gaussian; limbs with both ends v > 0.5 get a PAF; background channel is
+    1 - max(parts).
+    """
+    gy, gx = input_y // stride, input_x // stride
+    heat = np.zeros((gy, gx, NUM_HEATMAPS))
+    paf = np.zeros((gy, gx, NUM_PAF_CHANNELS))
+    keypoints = np.asarray(keypoints, float)
+
+    for part in range(NUM_PARTS):
+        for person in keypoints:
+            if person[part, 2] > 0.5:
+                heat[:, :, part] = put_gaussian_map(
+                    person[part, :2], heat[:, :, part], sigma, gy, gx,
+                    stride)
+    for li, (a, b) in enumerate(LIMBS):
+        count = np.zeros((gy, gx), dtype=np.uint32)
+        for person in keypoints:
+            if person[a, 2] > 0.5 and person[b, 2] > 0.5:
+                paf[:, :, 2 * li:2 * li + 2], count = put_vec_map(
+                    person[a, :2], person[b, :2],
+                    paf[:, :, 2 * li:2 * li + 2], count, gy, gx, stride)
+    heat[:, :, NUM_PARTS] = np.maximum(
+        1.0 - heat[:, :, :NUM_PARTS].max(axis=2), 0.0)
+    return heat, paf
+
+
+# ---------------------------------------------------------------------------
+# jax device implementation (closed form, batched)
+# ---------------------------------------------------------------------------
+
+def _device_impl():
+    import jax
+    import jax.numpy as jnp
+
+    LIMB_A = np.array([l[0] for l in LIMBS])
+    LIMB_B = np.array([l[1] for l in LIMBS])
+
+    def gt_maps(keypoints, *, grid_y, grid_x, stride, sigma):
+        """keypoints: (N, 18, 3) float32 (pad with v=0 rows).
+
+        Returns (heat (gy,gx,19), paf (gy,gx,38)).
+        """
+        start = stride / 2.0 - 0.5
+        xs = jnp.arange(grid_x, dtype=jnp.float32) * stride + start
+        ys = jnp.arange(grid_y, dtype=jnp.float32) * stride + start
+        xx = xs[None, :]
+        yy = ys[:, None]
+
+        kx = keypoints[:, :, 0]            # (N, 18)
+        ky = keypoints[:, :, 1]
+        kv = keypoints[:, :, 2] > 0.5
+
+        # heatmaps: sum of per-person gaussians, clamped at 1
+        d2 = ((xx[None, None] - kx[:, :, None, None]) ** 2
+              + (yy[None, None] - ky[:, :, None, None]) ** 2)
+        expo = d2 / (2.0 * sigma * sigma)
+        g = jnp.where((expo <= LN100) & kv[:, :, None, None],
+                      jnp.exp(-expo), 0.0)
+        heat_parts = jnp.minimum(g.sum(axis=0), 1.0)     # (18, gy, gx)
+        bg = jnp.maximum(1.0 - heat_parts.max(axis=0), 0.0)
+        heat = jnp.concatenate([heat_parts, bg[None]], axis=0)
+
+        # pafs: masked unit vectors averaged over persons
+        gxx = jnp.arange(grid_x, dtype=jnp.float32)[None, :]
+        gyy = jnp.arange(grid_y, dtype=jnp.float32)[:, None]
+        ax = kx[:, LIMB_A] / stride        # (N, 19)
+        ay = ky[:, LIMB_A] / stride
+        bx = kx[:, LIMB_B] / stride
+        by = ky[:, LIMB_B] / stride
+        lv = kv[:, LIMB_A] & kv[:, LIMB_B]
+        vec_x = bx - ax
+        vec_y = by - ay
+        norm = jnp.sqrt(vec_x ** 2 + vec_y ** 2)
+        lv = lv & (norm > 0)
+        un = jnp.maximum(norm, 1e-12)
+        ux = vec_x / un
+        uy = vec_y / un
+
+        # region bounds replicate the reference's rounded bounding box +
+        # perpendicular-distance test (paf.py:35-46)
+        min_x = jnp.round(jnp.minimum(ax, bx) - LIMB_WIDTH)
+        max_x = jnp.round(jnp.maximum(ax, bx) + LIMB_WIDTH)
+        min_y = jnp.round(jnp.minimum(ay, by) - LIMB_WIDTH)
+        max_y = jnp.round(jnp.maximum(ay, by) + LIMB_WIDTH)
+
+        bax = gxx[None, None] - ax[:, :, None, None]    # (N, 19, gy, gx)
+        bay = gyy[None, None] - ay[:, :, None, None]
+        perp = jnp.abs(bax * uy[:, :, None, None]
+                       - bay * ux[:, :, None, None])
+        in_box = ((gxx[None, None] >= min_x[:, :, None, None])
+                  & (gxx[None, None] < max_x[:, :, None, None])
+                  & (gyy[None, None] >= min_y[:, :, None, None])
+                  & (gyy[None, None] < max_y[:, :, None, None]))
+        mask = (perp < LIMB_WIDTH) & in_box & lv[:, :, None, None]
+
+        count = mask.sum(axis=0)                        # (19, gy, gx)
+        div = jnp.maximum(count, 1)
+        paf_x = (jnp.where(mask, ux[:, :, None, None], 0.0).sum(axis=0)
+                 / div)
+        paf_y = (jnp.where(mask, uy[:, :, None, None], 0.0).sum(axis=0)
+                 / div)
+        paf = jnp.stack([paf_x, paf_y], axis=1)          # (19, 2, gy, gx)
+        paf = paf.reshape(2 * NUM_LIMBS, grid_y, grid_x)
+
+        return (jnp.moveaxis(heat, 0, -1), jnp.moveaxis(paf, 0, -1))
+
+    return gt_maps
+
+
+@functools.lru_cache(maxsize=1)
+def _get_device_fn():
+    import jax
+    fn = _device_impl()
+    return jax.jit(fn, static_argnames=("grid_y", "grid_x", "stride",
+                                        "sigma"))
+
+
+def ground_truth_maps_device(keypoints, *, input_y: int = 368,
+                             input_x: int = 368, stride: int = 8,
+                             sigma: float = 7.0):
+    """Device-side GT synthesis for one sample (see module docstring)."""
+    import jax.numpy as jnp
+    fn = _get_device_fn()
+    return fn(jnp.asarray(keypoints, jnp.float32),
+              grid_y=input_y // stride, grid_x=input_x // stride,
+              stride=stride, sigma=sigma)
+
+
+def ground_truth_maps_batch(keypoints_batch, *, input_y: int = 368,
+                            input_x: int = 368, stride: int = 8,
+                            sigma: float = 7.0):
+    """Batched device GT synthesis: (B, N, 18, 3) -> (B, gy, gx, 19/38)."""
+    import jax
+    import jax.numpy as jnp
+    fn = _device_impl()
+    bfn = jax.vmap(functools.partial(
+        fn, grid_y=input_y // stride, grid_x=input_x // stride,
+        stride=stride, sigma=sigma))
+    return bfn(jnp.asarray(keypoints_batch, jnp.float32))

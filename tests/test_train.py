@@ -1,0 +1,106 @@
+"""Training stack: sharded train step, freeze mask, plateau, checkpoints."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtpose_tpu.config import Config
+from rtpose_tpu.train.schedule import ReduceLROnPlateau, freeze_mask
+from rtpose_tpu.train.trainer import Trainer
+
+
+def _tiny_cfg(tmp=None):
+    cfg = Config()
+    cfg.model.num_stages = 1
+    cfg.model.dtype = "float32"
+    cfg.dataset.image_size = 64
+    cfg.train.lr = 0.05
+    cfg.train.freeze_base_epochs = 1
+    cfg.train.print_freq = 100
+    if tmp:
+        cfg.train.checkpoint_dir = str(tmp)
+    return cfg
+
+
+def _fake_batch(rng, batch=8, size=64):
+    images = rng.rand(batch, size, size, 3).astype(np.float32)
+    kps = np.zeros((batch, 4, 18, 3), np.float32)
+    kps[:, 0, :, 0] = rng.uniform(5, size - 5, (batch, 18))
+    kps[:, 0, :, 1] = rng.uniform(5, size - 5, (batch, 18))
+    kps[:, 0, :, 2] = 2
+    return {"image": images, "keypoints": kps}
+
+
+def test_sharded_train_step_decreases_loss():
+    assert jax.device_count() == 8, "virtual 8-device CPU mesh expected"
+    cfg = _tiny_cfg()
+    tr = Trainer(cfg)
+    rng = np.random.RandomState(0)
+    batch = _fake_batch(rng)
+    losses = []
+    for _ in range(6):
+        losses.append(tr.run_epoch([batch], train=True)["loss"])
+    assert losses[-1] < losses[0]
+
+
+def test_freeze_mask_blocks_backbone_updates():
+    cfg = _tiny_cfg()
+    tr = Trainer(cfg)   # freeze_base_epochs=1 -> backbone frozen at start
+    p0 = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    batch = _fake_batch(np.random.RandomState(1))
+    tr.run_epoch([batch], train=True)
+    p1 = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    root0 = p0["params"] if "params" in p0 else p0
+    root1 = p1["params"] if "params" in p1 else p1
+    # frozen conv unchanged
+    np.testing.assert_array_equal(root0["backbone"]["conv1_1"]["kernel"],
+                                  root1["backbone"]["conv1_1"]["kernel"])
+    # CPM neck + heads updated
+    assert not np.array_equal(root0["backbone"]["conv4_3_CPM"]["kernel"],
+                              root1["backbone"]["conv4_3_CPM"]["kernel"])
+    # release phase: mask flips to 1 and updates flow (grad magnitude at
+    # random init is ~1e-12 through the deep trunk, so amplify lr to make
+    # the weight delta representable in fp32)
+    tr.epoch = cfg.train.freeze_base_epochs
+    tr.maybe_release_backbone()
+    m = jax.tree_util.tree_map(np.asarray, tr.state.grad_mask)
+    mroot = m["params"] if "params" in m else m
+    assert mroot["backbone"]["conv1_1"]["kernel"] == 1.0
+    tr.state = tr.state.replace(lr=jnp.asarray(1e7, jnp.float32))
+    tr.run_epoch([batch], train=True)
+    p2 = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    root2 = p2["params"] if "params" in p2 else p2
+    assert not np.array_equal(root1["backbone"]["conv1_1"]["kernel"],
+                              root2["backbone"]["conv1_1"]["kernel"])
+
+
+def test_plateau_schedule():
+    s = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=2, cooldown=1)
+    assert s.step(1.0) == 1.0           # improves (best=1.0)
+    for _ in range(2):
+        assert s.step(2.0) == 1.0       # bad x2 (= patience)
+    assert s.step(2.0) == 0.5           # third bad epoch -> drop
+    assert s.step(2.0) == 0.5           # cooldown consumes one bad epoch
+    s2 = ReduceLROnPlateau(lr=1.0)
+    s2.load_state_dict(s.state_dict())
+    assert s2.lr == 0.5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    tr = Trainer(cfg)
+    batch = _fake_batch(np.random.RandomState(2))
+    tr.run_epoch([batch], train=True)
+    from rtpose_tpu.train.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path), keep=2)
+    mgr.save(tr.state, step=1, is_best=True, meta={"epoch": 1})
+    state2, meta = mgr.restore(1, tr.state)
+    assert meta["epoch"] == 1
+    before = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    after = state2.params
+    r_b = before["params"] if "params" in before else before
+    r_a = after["params"] if "params" in after else after
+    np.testing.assert_array_equal(r_b["backbone"]["conv1_1"]["kernel"],
+                                  r_a["backbone"]["conv1_1"]["kernel"])
