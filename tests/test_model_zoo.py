@@ -1,0 +1,54 @@
+"""Model zoo: every family initializes and produces correct output shapes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtpose_tpu.models import get_model
+
+
+@pytest.mark.parametrize("name,kwargs,stride,stages", [
+    ("mobilenet", {"num_stages": 2}, 8, 2),
+    ("hourglass", {"num_stacks": 2}, 4, 2),
+    ("shufflenet_v2", {}, 8, 1),
+    ("openpose_v2", {"num_paf_stages": 2, "num_heat_stages": 1}, 8, 2),
+    ("atrous_resnet50", {}, 8, 1),
+])
+def test_forward_shapes(name, kwargs, stride, stages):
+    model = get_model(name, dtype=jnp.float32, **kwargs)
+    size = 64
+    x = jnp.zeros((1, size, size, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.pafs.shape == (stages, 1, size // stride, size // stride, 38)
+    assert out.heatmaps.shape == (stages, 1, size // stride,
+                                  size // stride, 19)
+
+
+def test_hourglass_train_mode_updates_batch_stats():
+    model = get_model("hourglass", num_stacks=1, dtype=jnp.float32)
+    x = jnp.ones((2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in variables
+    out, mutated = model.apply(variables, x, train=True,
+                               mutable=["batch_stats"])
+    # running stats actually change
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_shufflenet_channel_shuffle():
+    from rtpose_tpu.models.shufflenet_v2 import channel_shuffle
+    x = jnp.arange(8).reshape(1, 1, 1, 8).astype(jnp.float32)
+    y = channel_shuffle(x, 2)
+    # interleaves the two halves: [0,4,1,5,2,6,3,7]
+    np.testing.assert_array_equal(np.asarray(y).ravel(),
+                                  [0, 4, 1, 5, 2, 6, 3, 7])
+
+
+def test_unknown_model_raises():
+    with pytest.raises(KeyError):
+        get_model("resnext9000")
