@@ -1,0 +1,73 @@
+"""Single-image demo (reference demo/picture_demo.py).
+
+    python -m rtpose_tpu.demo.picture_demo --image ski.jpg \
+        --weight pose_model.pth --preprocess rtpose --output result.png
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_pipeline(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ..infer.pipeline import PosePipeline
+    from ..models import get_model
+    from ..models.import_torch import (import_rtpose_state_dict,
+                                       load_torch_checkpoint)
+
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    model = get_model(args.model, dtype=dtype)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, args.input_size, args.input_size, 3)))
+    if args.weight:
+        sd = load_torch_checkpoint(args.weight)
+        params = jax.tree_util.tree_map(
+            jnp.asarray, import_rtpose_state_dict(sd, params))
+        print(f"loaded weights from {args.weight}")
+    return PosePipeline(model, params, input_size=args.input_size,
+                        preprocess_mode=args.preprocess, flip=args.flip)
+
+
+def add_common_args(parser):
+    parser.add_argument("--model", default="vgg19")
+    parser.add_argument("--weight", default=None,
+                        help="reference .pth/.ckpt to import")
+    parser.add_argument("--preprocess", default="rtpose",
+                        choices=["rtpose", "vgg", "inception", "ssd"])
+    parser.add_argument("--input-size", type=int, default=368)
+    parser.add_argument("--flip", action="store_true",
+                        help="left/right flip TTA")
+    parser.add_argument("--fp32", action="store_true")
+
+
+def main():
+    import cv2
+
+    from ..utils.draw import draw_people
+    from ..utils.human import humans_from_people
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_args(parser)
+    parser.add_argument("--image", required=True)
+    parser.add_argument("--output", default="result.png")
+    args = parser.parse_args()
+
+    pipe = build_pipeline(args)
+    img = cv2.imread(args.image)
+    if img is None:
+        raise FileNotFoundError(args.image)
+    people, heat, paf, meta = pipe.run(img)
+    humans = humans_from_people(people)
+    print(f"found {len(humans)} people")
+    for h in humans:
+        print(f"  score={h.score:.2f} parts={sorted(h.body_parts)}")
+    out = draw_people(img, people, meta)
+    cv2.imwrite(args.output, out)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

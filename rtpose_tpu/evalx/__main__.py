@@ -1,0 +1,43 @@
+"""COCO evaluation CLI (reference evaluate/evaluation.py).
+
+    python -m rtpose_tpu.evalx --image-dir /data/coco/val2017 \
+        --ann /data/coco/annotations/person_keypoints_val2017.json \
+        --weight ckpt.pth --preprocess vgg --flip
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--image-dir", required=True)
+    parser.add_argument("--ann", required=True)
+    parser.add_argument("--weight", default=None)
+    parser.add_argument("--model", default="vgg19")
+    parser.add_argument("--preprocess", default="vgg")
+    parser.add_argument("--input-size", type=int, default=368)
+    parser.add_argument("--flip", action="store_true", default=True)
+    parser.add_argument("--no-flip", dest="flip", action="store_false")
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--vis-dir", default=None)
+    parser.add_argument("--results", default=None,
+                        help="write results json here")
+    parser.add_argument("--fp32", action="store_true")
+    args = parser.parse_args()
+
+    from ..demo.picture_demo import build_pipeline
+    pipe = build_pipeline(args)
+
+    from .harness import run_eval
+    stats = run_eval(args.image_dir, args.ann, pipe,
+                     vis_dir=args.vis_dir, limit=args.limit,
+                     results_path=args.results)
+    print(json.dumps(stats, indent=2))
+    print(f"mAP (OKS .50:.95) = {stats['AP']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Training CLI (reference train/train_VGG19.py entry).
+
+    python -m rtpose_tpu.train --config experiments/vgg19_368x368_sgd.yaml \
+        --set dataset.train_image_dir=/data/coco/train2017 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", default=None,
+                        help="yaml/json experiment overlay")
+    parser.add_argument("--set", nargs="*", default=[],
+                        help="dot.path=value overrides")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--vgg-weights", default=None,
+                        help="torchvision vgg19 .pth for backbone init "
+                             "(reference use_vgg)")
+    args = parser.parse_args()
+
+    from ..config import apply_dotlist, load_config
+    cfg = load_config(args.config)
+    apply_dotlist(cfg, args.set)
+
+    from ..data.dataset import CocoKeypoints, Loader
+    from ..data import transforms as T
+    from .trainer import Trainer
+
+    train_ds = CocoKeypoints(
+        image_dir=cfg.dataset.train_image_dir,
+        ann_file=cfg.dataset.train_annotations[0],
+        preprocess=T.train_pipeline(
+            cfg.dataset.image_size,
+            (cfg.dataset.scale_min, cfg.dataset.scale_max),
+            cfg.dataset.hflip_prob, cfg.dataset.rotate_degrees),
+        input_size=cfg.dataset.image_size,
+        stride=cfg.model.downsample, sigma=cfg.dataset.sigma)
+    val_ds = CocoKeypoints(
+        image_dir=cfg.dataset.val_image_dir,
+        ann_file=cfg.dataset.val_annotations,
+        preprocess=T.Compose([T.RescaleRelative(1.0),
+                              T.Crop(cfg.dataset.image_size),
+                              T.CenterPad(cfg.dataset.image_size)]),
+        input_size=cfg.dataset.image_size,
+        stride=cfg.model.downsample, sigma=cfg.dataset.sigma)
+
+    train_loader = Loader(train_ds, cfg.train.batch_size,
+                          num_workers=cfg.train.data_workers,
+                          seed=cfg.train.seed)
+    val_loader = Loader(val_ds, cfg.train.batch_size, shuffle=False,
+                        num_workers=cfg.train.data_workers)
+
+    trainer = Trainer(cfg)
+    if args.vgg_weights:
+        import jax
+        import jax.numpy as jnp
+        from ..models.import_torch import (import_vgg19_imagenet,
+                                           load_torch_checkpoint)
+        sd = load_torch_checkpoint(args.vgg_weights)
+        host = jax.tree_util.tree_map(lambda x: x, trainer.state.params)
+        imported = import_vgg19_imagenet(sd, host)
+        from ..parallel import mesh as pmesh
+        trainer.state = trainer.state.replace(
+            params=pmesh.replicate(
+                trainer.mesh,
+                jax.tree_util.tree_map(jnp.asarray, imported)))
+        print("initialized backbone from ImageNet vgg19 weights")
+
+    trainer.fit(train_loader, val_loader, epochs=args.epochs)
+
+
+if __name__ == "__main__":
+    main()
