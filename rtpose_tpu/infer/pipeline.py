@@ -1,14 +1,18 @@
 """The image->skeletons inference pipeline.
 
-One jitted call covers: normalization -> CNN forward (optionally both
-orientations for flip TTA, fused as a batch of 2) -> flip-swap averaging ->
-on-device NMS + grouping.  The host only resizes/pads the input image and
-reads back the fixed-shape people arrays.
+One jitted call covers: uint8->float normalization -> CNN forward
+(optionally both orientations for flip TTA, fused as a batch of 2) ->
+flip-swap averaging -> on-device NMS + grouping.  The host only
+resizes/pads the uint8 input image and reads back fixed-shape people
+arrays (shipping uint8 keeps host->device traffic 4x smaller than the
+reference's float CHW tensors, evaluate/coco_eval.py:105-108).
 
 Flip TTA follows reference evaluate/coco_eval.py:197-242 (swap tables
-derived in rtpose_tpu.skeleton); the committed reference never wires it into
-eval, but its README attributes mAP 0.653 vs 0.577 to exactly this
-averaging, so here it is a first-class pipeline flag.
+derived in rtpose_tpu.skeleton); the committed reference never wires it
+into eval, but its README attributes mAP 0.653 vs 0.577 to exactly this
+averaging, so here it is a first-class pipeline flag.  Multi-scale TTA
+(the reference's unused MultiScale scaffolding, transforms.py:139-156,
+coco_eval.py:107) is `run_multiscale`.
 """
 
 from __future__ import annotations
@@ -24,7 +28,7 @@ from ..models.common import ModelOutput
 from ..ops.decode import decode_poses, people_to_numpy
 from ..ops.grouping import People
 from ..skeleton import FLIP_HEAT, FLIP_PAF, NUM_LIMBS
-from .preprocess import crop_with_factor, preprocess
+from .preprocess import crop_with_factor, normalize_device
 
 _FLIP_PAF_ARR = np.array(FLIP_PAF)
 _FLIP_HEAT_ARR = np.array(FLIP_HEAT)
@@ -47,18 +51,20 @@ def average_flip(heat: jax.Array, heat_flipped: jax.Array,
     return (heat + hf) / 2.0, (paf + pf) / 2.0
 
 
-def make_infer_fn(model, *, thresh_heatmap: float = 0.1,
-                  max_peaks: int = 32, max_people: int = 64,
-                  downsample: int = 8, flip: bool = True):
-    """Build the jitted image->People function.
+def make_infer_fn(model, *, preprocess_mode: str = "vgg",
+                  thresh_heatmap: float = 0.1, max_peaks: int = 32,
+                  max_people: int = 64, downsample: int = 8,
+                  flip: bool = True, decode: bool = True):
+    """Build the jitted uint8-image->People function.
 
-    Returned fn: (params, image_hwc_float32) -> (People, heat, paf); the
-    maps are returned for eval/visualization.  jit-compiled per input shape
-    (use bucketing upstream to bound recompiles).
+    Returned fn: (params, image_hwc_uint8) -> (People | None, heat, paf).
+    jit-compiled per input shape (use bucketing upstream to bound
+    recompiles).
     """
 
-    @functools.partial(jax.jit, static_argnames=())
-    def infer(params, image):
+    @jax.jit
+    def infer(params, image_u8):
+        image = normalize_device(image_u8, preprocess_mode)
         if flip:
             batch = jnp.stack([image, image[:, ::-1, :]])
         else:
@@ -71,10 +77,12 @@ def make_infer_fn(model, *, thresh_heatmap: float = 0.1,
                                              paf[0], paf[1])
         else:
             heat_avg, paf_avg = heat[0], paf[0]
-        people = decode_poses.__wrapped__(
-            heat_avg, paf_avg, factor=downsample,
-            thresh_heatmap=thresh_heatmap, max_peaks=max_peaks,
-            max_people=max_people)
+        people = None
+        if decode:
+            people = decode_poses.__wrapped__(
+                heat_avg, paf_avg, factor=downsample,
+                thresh_heatmap=thresh_heatmap, max_peaks=max_peaks,
+                max_people=max_people)
         return people, heat_avg, paf_avg
 
     return infer
@@ -85,7 +93,7 @@ class PosePipeline:
 
     The TPU-native analogue of reference evaluate/coco_eval.py:80-114
     (get_outputs) + lib/utils/paf_to_pose.py:372-406 (paf_to_pose_cpp),
-    with flip TTA fused into the same jitted call.
+    with normalization + flip TTA fused into the same jitted call.
     """
 
     def __init__(self, model, params, *, input_size: int = 368,
@@ -97,13 +105,27 @@ class PosePipeline:
         self.input_size = input_size
         self.downsample = downsample
         self.preprocess_mode = preprocess_mode
-        self._infer = make_infer_fn(
-            model, thresh_heatmap=thresh_heatmap, max_peaks=max_peaks,
-            max_people=max_people, downsample=downsample, flip=flip)
+        kwargs = dict(preprocess_mode=preprocess_mode,
+                      thresh_heatmap=thresh_heatmap, max_peaks=max_peaks,
+                      max_people=max_people, downsample=downsample)
+        self._infer = make_infer_fn(model, flip=flip, **kwargs)
+        self._infer_maps = make_infer_fn(model, flip=flip, decode=False,
+                                         **kwargs)
+        self._decode_only = functools.partial(
+            decode_poses, factor=downsample, thresh_heatmap=thresh_heatmap,
+            max_peaks=max_peaks, max_people=max_people)
 
     def __call__(self, image_bgr: np.ndarray) -> List[Dict[str, Any]]:
-        people, _, _, meta = self.run(image_bgr)
+        people, _, _, _meta = self.run(image_bgr)
         return people
+
+    def _prep(self, image_bgr: np.ndarray):
+        im, scale, real_shape = crop_with_factor(
+            image_bgr, self.input_size, factor=self.downsample,
+            is_ceil=True)
+        meta = {"scale": scale, "real_shape": real_shape,
+                "padded_shape": im.shape}
+        return im.astype(np.uint8), meta
 
     def run(self, image_bgr: np.ndarray):
         """Returns (people list, heat, paf, meta).
@@ -112,16 +134,46 @@ class PosePipeline:
         'score': float}; coordinates normalized by the padded upsampled
         frame, meta carries scale for mapping back to original pixels.
         """
-        im, scale, real_shape = crop_with_factor(
-            image_bgr, self.input_size, factor=self.downsample, is_ceil=True)
-        inp = preprocess(im, self.preprocess_mode)
-        people_dev, heat, paf = self._infer(self.params, jnp.asarray(inp))
+        im, meta = self._prep(image_bgr)
+        people_dev, heat, paf = self._infer(self.params, jnp.asarray(im))
         h_up = heat.shape[0] * self.downsample
         w_up = heat.shape[1] * self.downsample
         people = people_to_numpy(people_dev, w_up, h_up)
-        meta = {"scale": scale, "real_shape": real_shape,
-                "padded_shape": im.shape, "upsampled": (h_up, w_up)}
+        meta["upsampled"] = (h_up, w_up)
         return people, np.asarray(heat), np.asarray(paf), meta
+
+    def run_multiscale(self, image_bgr: np.ndarray,
+                       scales=(0.5, 1.0, 1.5, 2.0)):
+        """Multi-scale + flip TTA: average maps over scales at the base
+        scale's resolution, then decode once (reference's unused
+        multi-scale scaffolding, coco_eval.py:107)."""
+        import cv2
+        base_im, meta = self._prep(image_bgr)
+        bh, bw = base_im.shape[0] // self.downsample, \
+            base_im.shape[1] // self.downsample
+        heat_sum = np.zeros((bh, bw, 19), np.float32)
+        paf_sum = np.zeros((bh, bw, 38), np.float32)
+        for s in scales:
+            size = max(self.downsample,
+                       int(round(self.input_size * s)))
+            im, _, _ = crop_with_factor(image_bgr, size,
+                                        factor=self.downsample)
+            _, heat, paf = self._infer_maps(self.params,
+                                            jnp.asarray(im.astype(np.uint8)))
+            heat = np.asarray(heat)
+            paf = np.asarray(paf)
+            heat_sum += cv2.resize(heat, (bw, bh),
+                                   interpolation=cv2.INTER_CUBIC)
+            paf_sum += cv2.resize(paf, (bw, bh),
+                                  interpolation=cv2.INTER_CUBIC)
+        heat_avg = heat_sum / len(scales)
+        paf_avg = paf_sum / len(scales)
+        people_dev = self._decode_only(jnp.asarray(heat_avg),
+                                       jnp.asarray(paf_avg))
+        h_up, w_up = bh * self.downsample, bw * self.downsample
+        meta["upsampled"] = (h_up, w_up)
+        people = people_to_numpy(people_dev, w_up, h_up)
+        return people, heat_avg, paf_avg, meta
 
     def keypoints_pixels(self, people, meta):
         """Map normalized part coords back to original-image pixels.

@@ -117,6 +117,28 @@ def preprocess(image: np.ndarray, mode: str) -> np.ndarray:
     return _MODES[mode](image)
 
 
+def normalize_device(images_u8, mode: str):
+    """jnp normalization of uint8 BGR HWC/NHWC frames — the on-device
+    version of the mode table above, fused into the jitted pipeline so the
+    host ships uint8 (4x fewer bytes over PCIe/tunnel) and the VPU does the
+    arithmetic."""
+    import jax.numpy as jnp
+    x = images_u8.astype(jnp.float32)
+    if mode == "rtpose":
+        return x / 256.0 - 0.5
+    if mode == "vgg":
+        rgb = x[..., ::-1] / 255.0
+        return (rgb - _VGG_MEAN) / _VGG_STD
+    if mode == "inception":
+        return x[..., ::-1] / 128.0 - 1.0
+    if mode == "ssd":
+        rgb = x[..., ::-1] - jnp.asarray([104.0, 117.0, 123.0])
+        return rgb[..., ::-1]
+    if mode in (None, "none"):
+        return x
+    raise ValueError(f"unknown normalization mode {mode}")
+
+
 def inverse_vgg_preprocess(image_hwc: np.ndarray) -> np.ndarray:
     rgb = image_hwc * _VGG_STD + _VGG_MEAN
     return (rgb[:, :, ::-1] * 255.0)
