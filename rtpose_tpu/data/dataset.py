@@ -129,6 +129,45 @@ class CocoKeypoints:
         return out
 
 
+class ImageList:
+    """Plain image-path dataset for batch inference
+    (reference lib/datasets/datasets.py:314-334)."""
+
+    def __init__(self, image_paths, transform=None):
+        self.image_paths = list(image_paths)
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.image_paths)
+
+    def __getitem__(self, index):
+        path = self.image_paths[index]
+        with open(path, "rb") as f:
+            image = PIL.Image.open(f).convert("RGB")
+        original = np.asarray(image, np.float32) / 255.0
+        arr = (self.transform(image) if self.transform
+               else T.image_to_tensor(image))
+        return path, original, arr
+
+
+class PilImageList:
+    """In-memory PIL image dataset (reference datasets.py:337-350)."""
+
+    def __init__(self, images, transform=None):
+        self.images = list(images)
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, index):
+        image = self.images[index].copy().convert("RGB")
+        original = np.asarray(image, np.float32) / 255.0
+        arr = (self.transform(image) if self.transform
+               else T.image_to_tensor(image))
+        return index, original, arr
+
+
 class Loader:
     """Threaded shuffling prefetch loader producing numpy batches.
 

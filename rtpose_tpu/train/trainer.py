@@ -84,28 +84,14 @@ def make_train_step(model, tx, cfg: Config):
     return train_step, eval_step
 
 
-class AverageMeter:
-    """Running average (reference train/train_VGG19.py:280-295)."""
-
-    def __init__(self):
-        self.reset()
-
-    def reset(self):
-        self.val = self.sum = self.count = 0.0
-
-    def update(self, val, n=1):
-        self.val = float(val)
-        self.sum += float(val) * n
-        self.count += n
-
-    @property
-    def avg(self):
-        return self.sum / max(self.count, 1)
+from ..utils.meters import AverageMeter, MetricLogger  # noqa: E402
 
 
 class Trainer:
-    def __init__(self, cfg: Config, *, mesh=None, params=None):
+    def __init__(self, cfg: Config, *, mesh=None, params=None,
+                 log_dir: Optional[str] = None):
         self.cfg = cfg
+        self.metrics = MetricLogger(log_dir, tensorboard=bool(log_dir))
         self.mesh = mesh or pmesh.make_mesh(cfg.parallel.num_data,
                                             cfg.parallel.num_model)
         dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" \
@@ -193,6 +179,9 @@ class Trainer:
                 print(f"[{phase}] epoch {self.epoch} it {i} "
                       f"loss {logs['loss']:.5f} "
                       f"data {t_data.avg:.3f}s step {t_step.avg:.3f}s")
+                if train:
+                    self.metrics.log(int(np.asarray(self.state.step)),
+                                     logs, prefix="train/")
         return {k: m.avg for k, m in meters.items()}
 
     def fit(self, train_loader, val_loader, *, epochs: Optional[int] = None,
