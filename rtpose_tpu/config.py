@@ -55,6 +55,7 @@ class TrainConfig:
     lr_patience: int = 5
     lr_cooldown: int = 3
     grad_accum_steps: int = 1      # working version of the reference's unused STRIDE_APPLY
+    masked_loss: bool = False      # crowd-region masked MSE (reference train_SH.py:80-126)
     checkpoint_dir: str = "checkpoints"
     resume: bool = False
     keep_checkpoints: int = 3

@@ -98,17 +98,43 @@ class CocoKeypoints:
         with open(path, "rb") as f:
             image = PIL.Image.open(f).convert("RGB")
         anns = self.coco.annotations(img_id, self.person_cats)
+        labeled = [a for a in anns
+                   if not a.get("iscrowd", 0)
+                   and any(v > 0 for v in (a.get("keypoints") or [])[2::3])]
+        unlabeled = [a for a in anns if a not in labeled]
         kp17 = np.array([np.asarray(a["keypoints"], float).reshape(17, 3)
-                         for a in anns]) if anns else np.zeros((0, 17, 3))
+                         for a in labeled]) if labeled \
+            else np.zeros((0, 17, 3))
 
-        sample = T.Sample.new(image, kp17)
+        # Carry crowd/unlabeled-region bbox corners through the geometric
+        # transforms as fake keypoint sets so the loss mask follows the
+        # augmentation (the reference's mask_miss analogue; its masked
+        # trainers depend on a loader missing from the repo,
+        # SURVEY.md C28).
+        n_people = len(kp17)
+        corner_sets = []
+        for a in unlabeled:
+            x, y, w, h = a.get("bbox", (0, 0, 0, 0))
+            c = np.zeros((17, 3))
+            c[0] = (x, y, 2)
+            c[1] = (x + w, y, 2)
+            c[2] = (x, y + h, 2)
+            c[3] = (x + w, y + h, 2)
+            corner_sets.append(c)
+        all_kp = np.concatenate(
+            [kp17] + ([np.stack(corner_sets)] if corner_sets else []),
+            axis=0) if (len(kp17) or corner_sets) else np.zeros((0, 17, 3))
+
+        sample = T.Sample.new(image, all_kp)
         sample = self.preprocess(sample, rng)
 
         arr = T.image_to_tensor(sample.image)
         arr = T.mask_valid_area(arr, sample.meta["valid_area"])
 
-        if len(sample.keypoints):
-            kps18 = np.stack([add_neck(k) for k in sample.keypoints])
+        people_kp = sample.keypoints[:n_people]
+        region_kp = sample.keypoints[n_people:]
+        if len(people_kp):
+            kps18 = np.stack([add_neck(k) for k in people_kp])
         else:
             kps18 = np.zeros((0, NUM_PARTS, 3))
         kps18 = remove_illegal_joints(kps18, self.input_size,
@@ -118,8 +144,24 @@ class CocoKeypoints:
         n = min(len(kps18), MAX_PEOPLE_PER_IMAGE)
         padded[:n] = kps18[:n]
 
+        gy = gx = self.input_size // self.stride
+        mask = np.ones((gy, gx, 1), np.float32)
+        for region in region_kp:
+            pts = region[region[:, 2] > 0, :2]
+            if not len(pts):
+                continue
+            x0 = int(np.clip(np.floor(pts[:, 0].min() / self.stride),
+                             0, gx))
+            x1 = int(np.clip(np.ceil(pts[:, 0].max() / self.stride),
+                             0, gx))
+            y0 = int(np.clip(np.floor(pts[:, 1].min() / self.stride),
+                             0, gy))
+            y1 = int(np.clip(np.ceil(pts[:, 1].max() / self.stride),
+                             0, gy))
+            mask[y0:y1, x0:x1, :] = 0.0
+
         out = {"image": arr.astype(np.float32), "keypoints": padded,
-               "image_id": img_id}
+               "image_id": img_id, "mask": mask}
         if self.host_gt:
             heat, paf = ground_truth_maps(
                 kps18, input_y=self.input_size, input_x=self.input_size,

@@ -49,10 +49,12 @@ def put_gaussian_map(center, accum: np.ndarray, sigma: float,
 
 
 def put_vec_map(center_a, center_b, accum: np.ndarray, count: np.ndarray,
-                grid_y: int, grid_x: int, stride: int
+                grid_y: int, grid_x: int, stride: int,
+                limb_width: float = LIMB_WIDTH
                 ) -> Tuple[np.ndarray, np.ndarray]:
     """Add one limb's unit-vector field with running average over overlaps
-    (reference paf.py:18-68)."""
+    (reference paf.py:18-68; limb_width 1.289 in the hourglass trainer,
+    reference train/train_SH.py:77)."""
     a = np.asarray(center_a, float) / stride
     b = np.asarray(center_b, float) / stride
     vec = b - a
@@ -61,10 +63,10 @@ def put_vec_map(center_a, center_b, accum: np.ndarray, count: np.ndarray,
         return accum, count
     u = vec / norm
 
-    min_x = max(int(round(min(a[0], b[0]) - LIMB_WIDTH)), 0)
-    max_x = min(int(round(max(a[0], b[0]) + LIMB_WIDTH)), grid_x)
-    min_y = max(int(round(min(a[1], b[1]) - LIMB_WIDTH)), 0)
-    max_y = min(int(round(max(a[1], b[1]) + LIMB_WIDTH)), grid_y)
+    min_x = max(int(round(min(a[0], b[0]) - limb_width)), 0)
+    max_x = min(int(round(max(a[0], b[0]) + limb_width)), grid_x)
+    min_y = max(int(round(min(a[1], b[1]) - limb_width)), 0)
+    max_y = min(int(round(max(a[1], b[1]) + limb_width)), grid_y)
     if min_x >= max_x or min_y >= max_y:
         return accum, count
 
@@ -74,7 +76,7 @@ def put_vec_map(center_a, center_b, accum: np.ndarray, count: np.ndarray,
     ba_x = xx - a[0]
     ba_y = yy - a[1]
     dist = np.abs(ba_x * u[1] - ba_y * u[0])
-    mask = dist < LIMB_WIDTH
+    mask = dist < limb_width
 
     vec_map = np.zeros_like(accum)
     vec_map[yy[mask], xx[mask], 0] = u[0]
@@ -91,7 +93,7 @@ def put_vec_map(center_a, center_b, accum: np.ndarray, count: np.ndarray,
 
 def ground_truth_maps(keypoints: np.ndarray, *, input_y: int = 368,
                       input_x: int = 368, stride: int = 8,
-                      sigma: float = 7.0
+                      sigma: float = 7.0, limb_width: float = LIMB_WIDTH
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """(N, 18, 3) keypoints -> heatmaps (gy, gx, 19) + pafs (gy, gx, 38).
 
@@ -116,7 +118,8 @@ def ground_truth_maps(keypoints: np.ndarray, *, input_y: int = 368,
             if person[a, 2] > 0.5 and person[b, 2] > 0.5:
                 paf[:, :, 2 * li:2 * li + 2], count = put_vec_map(
                     person[a, :2], person[b, :2],
-                    paf[:, :, 2 * li:2 * li + 2], count, gy, gx, stride)
+                    paf[:, :, 2 * li:2 * li + 2], count, gy, gx, stride,
+                    limb_width)
     heat[:, :, NUM_PARTS] = np.maximum(
         1.0 - heat[:, :, :NUM_PARTS].max(axis=2), 0.0)
     return heat, paf
@@ -133,7 +136,8 @@ def _device_impl():
     LIMB_A = np.array([l[0] for l in LIMBS])
     LIMB_B = np.array([l[1] for l in LIMBS])
 
-    def gt_maps(keypoints, *, grid_y, grid_x, stride, sigma):
+    def gt_maps(keypoints, *, grid_y, grid_x, stride, sigma,
+                limb_width=LIMB_WIDTH):
         """keypoints: (N, 18, 3) float32 (pad with v=0 rows).
 
         Returns (heat (gy,gx,19), paf (gy,gx,38)).
@@ -176,10 +180,10 @@ def _device_impl():
 
         # region bounds replicate the reference's rounded bounding box +
         # perpendicular-distance test (paf.py:35-46)
-        min_x = jnp.round(jnp.minimum(ax, bx) - LIMB_WIDTH)
-        max_x = jnp.round(jnp.maximum(ax, bx) + LIMB_WIDTH)
-        min_y = jnp.round(jnp.minimum(ay, by) - LIMB_WIDTH)
-        max_y = jnp.round(jnp.maximum(ay, by) + LIMB_WIDTH)
+        min_x = jnp.round(jnp.minimum(ax, bx) - limb_width)
+        max_x = jnp.round(jnp.maximum(ax, bx) + limb_width)
+        min_y = jnp.round(jnp.minimum(ay, by) - limb_width)
+        max_y = jnp.round(jnp.maximum(ay, by) + limb_width)
 
         bax = gxx[None, None] - ax[:, :, None, None]    # (N, 19, gy, gx)
         bay = gyy[None, None] - ay[:, :, None, None]
@@ -189,7 +193,7 @@ def _device_impl():
                   & (gxx[None, None] < max_x[:, :, None, None])
                   & (gyy[None, None] >= min_y[:, :, None, None])
                   & (gyy[None, None] < max_y[:, :, None, None]))
-        mask = (perp < LIMB_WIDTH) & in_box & lv[:, :, None, None]
+        mask = (perp < limb_width) & in_box & lv[:, :, None, None]
 
         count = mask.sum(axis=0)                        # (19, gy, gx)
         div = jnp.maximum(count, 1)
@@ -210,28 +214,30 @@ def _get_device_fn():
     import jax
     fn = _device_impl()
     return jax.jit(fn, static_argnames=("grid_y", "grid_x", "stride",
-                                        "sigma"))
+                                        "sigma", "limb_width"))
 
 
 def ground_truth_maps_device(keypoints, *, input_y: int = 368,
                              input_x: int = 368, stride: int = 8,
-                             sigma: float = 7.0):
+                             sigma: float = 7.0,
+                             limb_width: float = LIMB_WIDTH):
     """Device-side GT synthesis for one sample (see module docstring)."""
     import jax.numpy as jnp
     fn = _get_device_fn()
     return fn(jnp.asarray(keypoints, jnp.float32),
               grid_y=input_y // stride, grid_x=input_x // stride,
-              stride=stride, sigma=sigma)
+              stride=stride, sigma=sigma, limb_width=limb_width)
 
 
 def ground_truth_maps_batch(keypoints_batch, *, input_y: int = 368,
                             input_x: int = 368, stride: int = 8,
-                            sigma: float = 7.0):
+                            sigma: float = 7.0,
+                            limb_width: float = LIMB_WIDTH):
     """Batched device GT synthesis: (B, N, 18, 3) -> (B, gy, gx, 19/38)."""
     import jax
     import jax.numpy as jnp
     fn = _device_impl()
     bfn = jax.vmap(functools.partial(
         fn, grid_y=input_y // stride, grid_x=input_x // stride,
-        stride=stride, sigma=sigma))
+        stride=stride, sigma=sigma, limb_width=limb_width))
     return bfn(jnp.asarray(keypoints_batch, jnp.float32))

@@ -51,7 +51,8 @@ def _load_builtin(name: str) -> None:
     elif name == "hourglass":
         from .hourglass import HourglassRTPose
         _REGISTRY["hourglass"] = lambda **kw: HourglassRTPose(
-            num_stacks=kw.get("num_stacks", 8), dtype=kw.get("dtype"))
+            num_stacks=kw.get("num_stacks", kw.get("num_stages", 8)),
+            dtype=kw.get("dtype"))
     elif name == "shufflenet_v2":
         from .shufflenet_v2 import ShuffleNetV2RTPose
         _REGISTRY["shufflenet_v2"] = lambda **kw: ShuffleNetV2RTPose(

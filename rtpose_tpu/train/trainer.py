@@ -40,6 +40,7 @@ from .schedule import ReduceLROnPlateau, freeze_mask
 class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any
+    model_state: Any       # batch_stats etc. (empty dict for BN-free nets)
     opt_state: Any
     lr: jax.Array          # current learning rate (host-controlled)
     grad_mask: Any         # 0/1 pytree for the freeze phase
@@ -51,22 +52,44 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     # lr folded in manually (state.lr) so plateau updates don't recompile
 
 
+def _accepts_train_kwarg(model) -> bool:
+    import inspect
+    return "train" in inspect.signature(model.__call__).parameters
+
+
 def make_train_step(model, tx, cfg: Config):
     gt_fn = _device_impl()
     gy = gx = cfg.dataset.image_size // cfg.model.downsample
+    has_train_kwarg = _accepts_train_kwarg(model)
+    masked = cfg.train.masked_loss
 
-    def loss_fn(params, images, keypoints):
+    def _apply(params, model_state, images, train):
+        variables = {"params": params, **model_state}
+        kwargs = {"train": train} if has_train_kwarg else {}
+        if train and model_state:
+            out, new_state = model.apply(variables, images,
+                                         mutable=list(model_state), **kwargs)
+            return out, new_state
+        return model.apply(variables, images, **kwargs), model_state
+
+    def loss_fn(params, model_state, images, keypoints, mask, train):
         heat_gt, paf_gt = jax.vmap(functools.partial(
             gt_fn, grid_y=gy, grid_x=gx, stride=cfg.model.downsample,
-            sigma=cfg.dataset.sigma))(keypoints)
-        out: ModelOutput = model.apply(params, images)
+            sigma=cfg.dataset.sigma,
+            limb_width=cfg.dataset.limb_width))(keypoints)
+        out, new_state = _apply(params, model_state, images, train)
+        hm = pm = None
+        if masked and mask is not None:
+            hm = pm = mask
         total, logs = stagewise_mse(out, heat_gt.astype(jnp.float32),
-                                    paf_gt.astype(jnp.float32))
-        return total, logs
+                                    paf_gt.astype(jnp.float32),
+                                    heat_mask=hm, paf_mask=pm)
+        return total, (logs, new_state)
 
-    def train_step(state: TrainState, images, keypoints):
-        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, images, keypoints)
+    def train_step(state: TrainState, images, keypoints, mask):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (logs, new_model_state)), grads = grad_fn(
+            state.params, state.model_state, images, keypoints, mask, True)
         grads = jax.tree_util.tree_map(lambda g, m: g * m, grads,
                                        state.grad_mask)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -74,10 +97,12 @@ def make_train_step(model, tx, cfg: Config):
         params = optax.apply_updates(state.params, updates)
         logs["loss"] = loss
         return state.replace(step=state.step + 1, params=params,
+                             model_state=new_model_state,
                              opt_state=opt_state), logs
 
-    def eval_step(state: TrainState, images, keypoints):
-        loss, logs = loss_fn(state.params, images, keypoints)
+    def eval_step(state: TrainState, images, keypoints, mask):
+        loss, (logs, _) = loss_fn(state.params, state.model_state, images,
+                                  keypoints, mask, False)
         logs["loss"] = loss
         return logs
 
@@ -103,6 +128,12 @@ class Trainer:
             params = self.model.init(
                 jax.random.PRNGKey(cfg.train.seed),
                 jnp.zeros((1, size, size, 3), jnp.float32))
+        # split variables: trainable params vs model state (batch_stats)
+        if "params" in params:
+            model_state = {k: v for k, v in params.items() if k != "params"}
+            params = params["params"]
+        else:
+            model_state = {}
         self.tx = make_optimizer(cfg)
         step_fn, eval_fn = make_train_step(self.model, self.tx, cfg)
 
@@ -110,10 +141,11 @@ class Trainer:
         data = pmesh.batch_sharding(self.mesh)
         self.train_step = jax.jit(
             step_fn,
-            in_shardings=(repl, data, data),
+            in_shardings=(repl, data, data, data),
             out_shardings=(repl, repl),
             donate_argnums=(0,))
-        self.eval_step = jax.jit(eval_fn, in_shardings=(repl, data, data),
+        self.eval_step = jax.jit(eval_fn,
+                                 in_shardings=(repl, data, data, data),
                                  out_shardings=repl)
 
         frozen_paths = self._frozen_paths()
@@ -122,6 +154,7 @@ class Trainer:
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=pmesh.replicate(self.mesh, params),
+            model_state=pmesh.replicate(self.mesh, model_state),
             opt_state=pmesh.replicate(self.mesh, self.tx.init(params)),
             lr=jnp.asarray(cfg.train.lr, jnp.float32),
             grad_mask=pmesh.replicate(self.mesh, mask))
@@ -156,17 +189,23 @@ class Trainer:
         t_data = AverageMeter()
         t_step = AverageMeter()
         tic = time.time()
+        gy = gx = self.cfg.dataset.image_size // self.cfg.model.downsample
         for i, batch in enumerate(loader):
             images = batch["image"]
             kps = batch["keypoints"]
+            mask = batch.get("mask")
+            if mask is None:
+                mask = np.ones((images.shape[0], gy, gx, 1), np.float32)
             t_data.update(time.time() - tic)
-            images = jax.device_put(images,
-                                    pmesh.batch_sharding(self.mesh))
-            kps = jax.device_put(kps, pmesh.batch_sharding(self.mesh))
+            sh = pmesh.batch_sharding(self.mesh)
+            images = jax.device_put(images, sh)
+            kps = jax.device_put(kps, sh)
+            mask = jax.device_put(mask, sh)
             if train:
-                self.state, logs = self.train_step(self.state, images, kps)
+                self.state, logs = self.train_step(self.state, images, kps,
+                                                   mask)
             else:
-                logs = self.eval_step(self.state, images, kps)
+                logs = self.eval_step(self.state, images, kps, mask)
             logs = {k: float(v) for k, v in
                     jax.tree_util.tree_map(np.asarray, logs).items()}
             for k, v in logs.items():

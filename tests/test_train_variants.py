@@ -1,0 +1,82 @@
+"""Alternate trainers: BatchNorm models (hourglass) + masked loss."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtpose_tpu.config import Config
+from rtpose_tpu.train.trainer import Trainer
+
+
+def _batch(rng, batch=8, size=64, stride=4):
+    g = size // stride
+    images = rng.rand(batch, size, size, 3).astype(np.float32)
+    kps = np.zeros((batch, 4, 18, 3), np.float32)
+    kps[:, 0, :, 0] = rng.uniform(5, size - 5, (batch, 18))
+    kps[:, 0, :, 1] = rng.uniform(5, size - 5, (batch, 18))
+    kps[:, 0, :, 2] = 2
+    mask = np.ones((batch, g, g, 1), np.float32)
+    mask[:, : g // 4] = 0.0    # emulate a crowd region
+    return {"image": images, "keypoints": kps, "mask": mask}
+
+
+def test_hourglass_masked_train_step():
+    cfg = Config()
+    cfg.model.name = "hourglass"
+    cfg.model.num_stages = 1          # 1 stack keeps the CPU test fast
+    cfg.model.downsample = 4
+    cfg.model.dtype = "float32"
+    cfg.dataset.image_size = 64
+    cfg.dataset.sigma = 4.416
+    cfg.dataset.limb_width = 1.289
+    cfg.train.lr = 1e-4
+    cfg.train.masked_loss = True
+    cfg.train.freeze_base_epochs = 0
+    cfg.train.print_freq = 100
+
+    tr = Trainer(cfg)
+    assert tr.state.model_state, "hourglass should carry batch_stats"
+    bs_before = jax.tree_util.tree_map(np.asarray,
+                                       tr.state.model_state)
+    batch = _batch(np.random.RandomState(0))
+    logs = tr.run_epoch([batch], train=True)
+    assert np.isfinite(logs["loss"])
+    bs_after = jax.tree_util.tree_map(np.asarray, tr.state.model_state)
+    lb = jax.tree_util.tree_leaves(bs_before)
+    la = jax.tree_util.tree_leaves(bs_after)
+    assert any(not np.allclose(b, a) for b, a in zip(lb, la)), \
+        "batch_stats must update during training"
+    # eval step works with running averages
+    val = tr.run_epoch([batch], train=False)
+    assert np.isfinite(val["loss"])
+
+
+def test_masked_loss_ignores_masked_region():
+    """Loss must not depend on predictions inside the masked region."""
+    cfg = Config()
+    cfg.model.num_stages = 1
+    cfg.model.dtype = "float32"
+    cfg.dataset.image_size = 64
+    cfg.train.masked_loss = True
+    cfg.train.freeze_base_epochs = 0
+    cfg.train.print_freq = 100
+    tr = Trainer(cfg)
+    rng = np.random.RandomState(1)
+    b1 = _batch(rng, stride=8)
+    b1["mask"][:] = 1.0
+    b1["mask"][:, :4] = 0.0    # mask pixels y < 32
+    # an extra person whose gaussians (sigma 7 -> support ~21px around
+    # y=2) lie entirely inside the masked band; limbs are zero-length so
+    # no PAF is emitted
+    b2 = {k: v.copy() for k, v in b1.items()}
+    b2["keypoints"][:, 1, :, 0] = 32.0
+    b2["keypoints"][:, 1, :, 1] = 2.0
+    b2["keypoints"][:, 1, :, 2] = 2
+    l1 = tr.eval_step(tr.state, jnp.asarray(b1["image"]),
+                      jnp.asarray(b1["keypoints"]), jnp.asarray(b1["mask"]))
+    l2 = tr.eval_step(tr.state, jnp.asarray(b2["image"]),
+                      jnp.asarray(b2["keypoints"]), jnp.asarray(b2["mask"]))
+    # GT differs only inside masked rows -> loss nearly unchanged
+    assert abs(float(l1["loss"]) - float(l2["loss"])) < 1e-5
