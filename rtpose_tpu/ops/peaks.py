@@ -161,12 +161,53 @@ def _refine(heat_part: jax.Array, py: jax.Array, px: jax.Array,
     return xf, yf, score
 
 
+def _gather_patch(heat_part: jax.Array, py: jax.Array, px: jax.Array):
+    """Clipped 5x5 window + extents for one peak (invalid cells zeroed)."""
+    H, W = heat_part.shape
+    y_min = jnp.maximum(0, py - _WIN)
+    y_max = jnp.minimum(H - 1, py + _WIN)
+    x_min = jnp.maximum(0, px - _WIN)
+    x_max = jnp.minimum(W - 1, px + _WIN)
+    ph = y_max - y_min + 1
+    pw = x_max - x_min + 1
+    ry = jnp.arange(_PATCH)
+    rx = jnp.arange(_PATCH)
+    rows = jnp.clip(y_min + ry, 0, H - 1)
+    cols = jnp.clip(x_min + rx, 0, W - 1)
+    patch = heat_part[rows[:, None], cols[None, :]]
+    patch = jnp.where((ry[:, None] < ph) & (rx[None, :] < pw), patch, 0.0)
+    return patch, ph, pw, y_min, x_min
+
+
+def _refine_pallas(heat: jax.Array, py: jax.Array, px: jax.Array,
+                   factor: int, interpret: bool):
+    """Refinement via the fused pallas kernel (ops/pallas_kernels.py)."""
+    from .pallas_kernels import bicubic_refine
+    P, K = py.shape
+    gfn = jax.vmap(jax.vmap(_gather_patch, in_axes=(None, 0, 0)),
+                   in_axes=(0, 0, 0))
+    patch, ph, pw, y_min, x_min = gfn(heat, py, px)
+    my, mx, score = bicubic_refine(
+        patch.reshape(P * K, _PATCH, _PATCH), ph.reshape(-1),
+        pw.reshape(-1), factor=factor, interpret=interpret)
+    my = my.reshape(P, K)
+    mx = mx.reshape(P, K)
+    score = score.reshape(P, K)
+    cy = (py - y_min + 0.5) * factor - 0.5
+    cx = (px - x_min + 0.5) * factor - 0.5
+    yf = (py + 0.5) * factor - 0.5 + (my - cy)
+    xf = (px + 0.5) * factor - 0.5 + (mx - cx)
+    return xf, yf, score
+
+
 def nms(heatmaps: jax.Array, *, factor: int = 8, thresh: float = 0.1,
-        max_peaks: int = 32, refine: bool = True) -> Peaks:
+        max_peaks: int = 32, refine: bool = True,
+        use_pallas: bool = False, pallas_interpret: bool = False) -> Peaks:
     """Fixed-shape NMS over (H, W, C>=num_parts) heatmaps.
 
     Top-`max_peaks` per part by score (the reference keeps all peaks;
-    images essentially never exceed ~20 per part).
+    images essentially never exceed ~20 per part).  `use_pallas` routes
+    sub-pixel refinement through the fused pallas kernel.
     """
     heat = jnp.moveaxis(heatmaps[..., :NUM_PARTS], -1, 0)  # (parts, H, W)
     H, W = heat.shape[-2:]
@@ -178,7 +219,10 @@ def nms(heatmaps: jax.Array, *, factor: int = 8, thresh: float = 0.1,
     px = (idx % W).astype(jnp.int32)
     valid = scores0 > thresh
 
-    if refine:
+    if refine and use_pallas:
+        xf, yf, score = _refine_pallas(heat, py, px, factor,
+                                       pallas_interpret)
+    elif refine:
         ref_fn = jax.vmap(jax.vmap(_refine, in_axes=(None, 0, 0, None)),
                           in_axes=(0, 0, 0, None))
         xf, yf, score = ref_fn(heat, py, px, factor)

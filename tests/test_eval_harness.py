@@ -1,0 +1,82 @@
+"""Eval harness end-to-end: synthetic COCO val dir -> run_eval -> stats.
+
+Uses a tiny random-weight model, so mAP is ~0; the test checks the
+plumbing: image loop, pipeline, COCO result conversion, OKS evaluation,
+results-json dump, and the perfect-oracle path (detections fabricated from
+GT must score AP=1)."""
+
+import json
+import os
+
+import numpy as np
+import PIL.Image
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtpose_tpu.data.coco_json import CocoJson
+from rtpose_tpu.evalx.harness import eval_results, run_eval
+from rtpose_tpu.infer.pipeline import PosePipeline
+from rtpose_tpu.models import get_model
+
+
+@pytest.fixture
+def coco_val(tmp_path):
+    rng = np.random.RandomState(0)
+    img_dir = tmp_path / "val"
+    img_dir.mkdir()
+    images, annotations = [], []
+    for img_id in (1, 2):
+        w, h = 96, 80
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        name = f"{img_id:012d}.jpg"
+        PIL.Image.fromarray(arr).save(img_dir / name)
+        images.append({"id": img_id, "file_name": name,
+                       "width": w, "height": h})
+        kps = []
+        for _ in range(17):
+            kps += [float(rng.uniform(10, w - 10)),
+                    float(rng.uniform(10, h - 10)), 2]
+        annotations.append({"id": img_id * 10, "image_id": img_id,
+                            "category_id": 1, "keypoints": kps,
+                            "num_keypoints": 17, "area": 2000.0,
+                            "iscrowd": 0, "bbox": [10, 10, 60, 50],
+                            "segmentation": []})
+    ann = {"images": images, "annotations": annotations,
+           "categories": [{"id": 1, "name": "person"}]}
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(ann))
+    return str(img_dir), str(ann_file), tmp_path
+
+
+def test_run_eval_smoke(coco_val):
+    img_dir, ann_file, tmp = coco_val
+    model = get_model("vgg19", num_stages=1, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    pipe = PosePipeline(model, params, input_size=56, flip=False)
+    vis = tmp / "vis"
+    vis.mkdir()
+    results_path = str(tmp / "results.json")
+    stats = run_eval(img_dir, ann_file, pipe, vis_dir=str(vis),
+                     results_path=results_path)
+    assert set(stats) >= {"AP", "AP50", "APm", "APl", "AR"}
+    assert os.path.exists(results_path)
+    # vis images written
+    assert len(list(vis.iterdir())) == 2
+
+
+def test_oracle_results_score_ap1(coco_val):
+    """Results built directly from GT keypoints must evaluate to AP 1."""
+    img_dir, ann_file, _ = coco_val
+    coco = CocoJson(ann_file)
+    img_ids = coco.img_ids([1])
+    outputs = []
+    for img_id in img_ids:
+        for a in coco.annotations(img_id, [1]):
+            outputs.append({"image_id": img_id, "category_id": 1,
+                            "keypoints": list(map(float, a["keypoints"])),
+                            "score": 1.0})
+    stats = eval_results(outputs, coco, img_ids)
+    assert stats["AP"] == pytest.approx(1.0)
+    assert stats["AR"] == pytest.approx(1.0)

@@ -1,0 +1,44 @@
+"""Pallas refine kernel vs the XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rtpose_tpu.ops import peaks as P
+
+from util_synth import synth_example
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_pallas_refine_matches_xla(seed):
+    _, heat, _ = synth_example(seed=seed, n_people=3)
+    xla = P.nms(jnp.asarray(heat), factor=8, thresh=0.1)
+    plk = P.nms(jnp.asarray(heat), factor=8, thresh=0.1,
+                use_pallas=True, pallas_interpret=True)
+    v = np.asarray(xla.valid)
+    np.testing.assert_array_equal(v, np.asarray(plk.valid))
+    for arr_x, arr_p in ((xla.xf, plk.xf), (xla.yf, plk.yf),
+                         (xla.score, plk.score)):
+        np.testing.assert_allclose(np.asarray(arr_x)[v],
+                                   np.asarray(arr_p)[v], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(xla.x)[v],
+                                  np.asarray(plk.x)[v])
+    np.testing.assert_array_equal(np.asarray(xla.y)[v],
+                                  np.asarray(plk.y)[v])
+
+
+def test_pallas_refine_border_peaks():
+    from rtpose_tpu.skeleton import NUM_PARTS
+    h = w = 12
+    heat = np.zeros((h, w, NUM_PARTS), dtype=np.float32)
+    for part, (py, px) in enumerate([(0, 0), (0, 5), (5, 0), (11, 11)]):
+        heat[py, px, part] = 1.0
+    xla = P.nms(jnp.asarray(heat), factor=8, thresh=0.1)
+    plk = P.nms(jnp.asarray(heat), factor=8, thresh=0.1,
+                use_pallas=True, pallas_interpret=True)
+    v = np.asarray(xla.valid)
+    np.testing.assert_allclose(np.asarray(xla.xf)[v],
+                               np.asarray(plk.xf)[v], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xla.yf)[v],
+                               np.asarray(plk.yf)[v], atol=1e-5)
