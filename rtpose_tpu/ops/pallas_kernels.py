@@ -23,40 +23,46 @@ import numpy as np
 from .peaks import _PATCH, _interp_matrices
 
 
+_BLK = 8   # peaks per grid step (Mosaic wants 8-divisible sublane blocks)
+
+
 def _refine_kernel(ext_ref, patches_ref, mats_ref, out_ref):
-    """One peak per grid step.
+    """_BLK peaks per grid step.
 
     ext_ref: scalar-prefetch (n, 2) int32 [ph-3, pw-3]
-    patches_ref: (1, PATCH, PATCH) f32 block (this peak's window)
+    patches_ref: (_BLK, PATCH, PATCH) f32 block
     mats_ref: (3 * PATCH*f, PATCH) f32 — stacked interpolation matrices
-    out_ref: (1, 4) f32 [my, mx, score, 0]
+    out_ref: (_BLK, 4) f32 rows [my, mx, score, 0]
     """
     i = pl.program_id(0)
     n = mats_ref.shape[0] // 3          # PATCH * factor
-    phi = ext_ref[i, 0]
-    pwi = ext_ref[i, 1]
-    My = mats_ref[pl.ds(phi * n, n), :]         # (n, PATCH)
-    Mx = mats_ref[pl.ds(pwi * n, n), :]
-    patch = patches_ref[0]                       # (PATCH, PATCH)
-    up = jnp.dot(jnp.dot(My, patch, preferred_element_type=jnp.float32),
-                 Mx.T, preferred_element_type=jnp.float32)   # (n, n)
-
     f = n // _PATCH
     iy = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     ix = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    valid = (iy < (phi + 3) * f) & (ix < (pwi + 3) * f)
-    masked = jnp.where(valid, up, -jnp.inf)
-    gmax = jnp.max(masked)
-    big = n * n
-    flat = jnp.min(jnp.where(masked >= gmax, iy * n + ix, big))
-    my = flat // n
-    mx = flat % n
-    out_ref[0, 0] = my.astype(jnp.float32)
-    out_ref[0, 1] = mx.astype(jnp.float32)
-    # score reads the unmasked patch value at the argmax (XLA-path parity)
-    score = jax.lax.dynamic_slice(up, (my, mx), (1, 1))[0, 0]
-    out_ref[0, 2] = score
-    out_ref[0, 3] = 0.0
+    for j in range(_BLK):
+        phi = ext_ref[i * _BLK + j, 0]
+        pwi = ext_ref[i * _BLK + j, 1]
+        My = mats_ref[pl.ds(phi * n, n), :]         # (n, PATCH)
+        Mx = mats_ref[pl.ds(pwi * n, n), :]
+        patch = patches_ref[j]                       # (PATCH, PATCH)
+        up = jnp.dot(
+            jnp.dot(My, patch, preferred_element_type=jnp.float32),
+            Mx.T, preferred_element_type=jnp.float32)   # (n, n)
+
+        valid = (iy < (phi + 3) * f) & (ix < (pwi + 3) * f)
+        masked = jnp.where(valid, up, -jnp.inf)
+        gmax = jnp.max(masked)
+        big = n * n
+        flat = jnp.min(jnp.where(masked >= gmax, iy * n + ix, big))
+        my = flat // n
+        mx = flat % n
+        out_ref[j, 0] = my.astype(jnp.float32)
+        out_ref[j, 1] = mx.astype(jnp.float32)
+        # score = unmasked patch value at the argmax (XLA-path parity);
+        # vector select instead of dynamic_slice (not lowerable on TPU)
+        score = jnp.max(jnp.where((iy == my) & (ix == mx), up, -jnp.inf))
+        out_ref[j, 2] = score
+        out_ref[j, 3] = 0.0
 
 
 try:  # pallas import kept lazy-safe for environments without TPU support
@@ -82,27 +88,32 @@ def bicubic_refine(patches: jax.Array, ph: jax.Array, pw: jax.Array, *,
     Returns (my, mx, score): int32, int32, f32 each (n,).
     """
     n_peaks = patches.shape[0]
+    n_pad = -(-n_peaks // _BLK) * _BLK
+    if n_pad != n_peaks:
+        patches = jnp.pad(patches, ((0, n_pad - n_peaks), (0, 0), (0, 0)))
+        ph = jnp.pad(ph, (0, n_pad - n_peaks), constant_values=3)
+        pw = jnp.pad(pw, (0, n_pad - n_peaks), constant_values=3)
     mats = jnp.asarray(_interp_matrices(factor))       # (3, P*f, P)
     mats_flat = mats.reshape(3 * _PATCH * factor, _PATCH)
     ext = jnp.stack([ph - 3, pw - 3], axis=1).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_peaks,),
+        grid=(n_pad // _BLK,),
         in_specs=[
-            pl.BlockSpec((1, _PATCH, _PATCH), lambda i, ext: (i, 0, 0),
+            pl.BlockSpec((_BLK, _PATCH, _PATCH), lambda i, ext: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(mats_flat.shape, lambda i, ext: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4), lambda i, ext: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((_BLK, 4), lambda i, ext: (i, 0),
+                               memory_space=pltpu.SMEM),
     )
     out = pl.pallas_call(
         _refine_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_peaks, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
         interpret=interpret,
-    )(ext, patches, mats_flat)
+    )(ext, patches, mats_flat)[:n_peaks]
     return (out[:, 0].astype(jnp.int32), out[:, 1].astype(jnp.int32),
             out[:, 2])
