@@ -54,8 +54,8 @@ def main():
     n = 0
     t0 = time.time()
     for frames in iter_batches(cap, args.batch):
-        for frame in frames:   # pipeline is shape-bucketed per frame
-            people, _h, _p, meta = pipe.run(frame)
+        people_lists, metas = pipe.run_batch(frames)
+        for frame, people, meta in zip(frames, people_lists, metas):
             out = draw_people(frame, people, meta)
             if writer is None:
                 writer = cv2.VideoWriter(

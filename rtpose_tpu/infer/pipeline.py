@@ -105,6 +105,7 @@ class PosePipeline:
         self.input_size = input_size
         self.downsample = downsample
         self.preprocess_mode = preprocess_mode
+        self.flip = flip
         kwargs = dict(preprocess_mode=preprocess_mode,
                       thresh_heatmap=thresh_heatmap, max_peaks=max_peaks,
                       max_people=max_people, downsample=downsample)
@@ -141,6 +142,37 @@ class PosePipeline:
         people = people_to_numpy(people_dev, w_up, h_up)
         meta["upsampled"] = (h_up, w_up)
         return people, np.asarray(heat), np.asarray(paf), meta
+
+    def run_batch(self, images_bgr):
+        """Batched serving for same-shape frames (video): one jitted call
+        per batch, people lists per frame.  Frames are resized/padded
+        individually; batching requires identical padded shapes (true for
+        a fixed-resolution video stream)."""
+        ims, metas = zip(*(self._prep(im) for im in images_bgr))
+        shapes = {im.shape for im in ims}
+        if len(shapes) != 1:
+            return [self.run(im)[0] for im in images_bgr], list(metas)
+        batch = jnp.asarray(np.stack(ims))
+        if not hasattr(self, "_infer_batch"):
+            single = make_infer_fn(
+                self.model, flip=self.flip,
+                preprocess_mode=self.preprocess_mode,
+                downsample=self.downsample)
+            self._infer_batch = jax.jit(
+                lambda p, b: jax.vmap(
+                    lambda im: single.__wrapped__(p, im))(b))
+        people_dev, heat, _paf = self._infer_batch(self.params, batch)
+        h_up = heat.shape[1] * self.downsample
+        w_up = heat.shape[2] * self.downsample
+        out = []
+        for i, meta in enumerate(metas):
+            meta["upsampled"] = (h_up, w_up)
+            sub = People(
+                coords=people_dev.coords[i],
+                part_score=people_dev.part_score[i],
+                score=people_dev.score[i], valid=people_dev.valid[i])
+            out.append(people_to_numpy(sub, w_up, h_up))
+        return out, list(metas)
 
     def run_multiscale(self, image_bgr: np.ndarray,
                        scales=(0.5, 1.0, 1.5, 2.0)):

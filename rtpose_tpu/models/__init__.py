@@ -68,3 +68,11 @@ def _load_builtin(name: str) -> None:
         from .atrous import AtrousPose
         _REGISTRY["atrous_resnet50"] = lambda **kw: AtrousPose(
             dtype=kw.get("dtype"))
+    elif name == "atrous_cpm":
+        from .atrous_cpm import AtrousCPM
+        _REGISTRY["atrous_cpm"] = lambda **kw: AtrousCPM(
+            num_stages=kw.get("num_stages", 5), dtype=kw.get("dtype"))
+    elif name == "atrous_cpm_shared":
+        from .atrous_cpm import AtrousCPMShared
+        _REGISTRY["atrous_cpm_shared"] = lambda **kw: AtrousCPMShared(
+            num_stages=kw.get("num_stages", 5), dtype=kw.get("dtype"))

@@ -15,6 +15,8 @@ from rtpose_tpu.models import get_model
     ("shufflenet_v2", {}, 8, 1),
     ("openpose_v2", {"num_paf_stages": 2, "num_heat_stages": 1}, 8, 2),
     ("atrous_resnet50", {}, 8, 1),
+    ("atrous_cpm", {"num_stages": 2}, 8, 2),
+    ("atrous_cpm_shared", {"num_stages": 2}, 8, 2),
 ])
 def test_forward_shapes(name, kwargs, stride, stages):
     model = get_model(name, dtype=jnp.float32, **kwargs)
