@@ -47,9 +47,14 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    return optax.sgd(learning_rate=1.0, momentum=cfg.train.momentum,
-                     nesterov=cfg.train.nesterov)
     # lr folded in manually (state.lr) so plateau updates don't recompile
+    tx = optax.sgd(learning_rate=1.0, momentum=cfg.train.momentum,
+                   nesterov=cfg.train.nesterov)
+    if cfg.train.grad_accum_steps > 1:
+        # working version of the reference's unused TRAIN.STRIDE_APPLY
+        # (lib/config/default.py:96): apply every k-th microbatch
+        tx = optax.MultiSteps(tx, cfg.train.grad_accum_steps)
+    return tx
 
 
 def _accepts_train_kwarg(model) -> bool:
