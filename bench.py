@@ -19,9 +19,9 @@ import time
 
 import numpy as np
 
-BATCH = 16
+BATCH = 64
 DEPTH = 3      # in-flight batches
-ITERS = 24     # timed batches
+ITERS = 20     # timed batches
 
 
 def main():
