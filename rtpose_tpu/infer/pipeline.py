@@ -88,6 +88,50 @@ def make_infer_fn(model, *, preprocess_mode: str = "vgg",
     return infer
 
 
+def load_pipeline(checkpoint_dir: str = None, *, torch_weights: str = None,
+                  model_name: str = "vgg19", input_size: int = 368,
+                  preprocess_mode: str = "vgg", flip: bool = True,
+                  dtype=None, **kwargs) -> "PosePipeline":
+    """Build a serving pipeline from an orbax checkpoint dir (best step) or
+    a reference torch .pth/.ckpt."""
+    import jax
+
+    from ..models import get_model
+
+    dtype = dtype or jnp.bfloat16
+    model = get_model(model_name, dtype=dtype)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, input_size, input_size, 3)))
+    if torch_weights:
+        from ..models.import_torch import (import_rtpose_state_dict,
+                                           load_torch_checkpoint)
+        sd = load_torch_checkpoint(torch_weights)
+        params = jax.tree_util.tree_map(
+            jnp.asarray, import_rtpose_state_dict(sd, params))
+    elif checkpoint_dir:
+        from ..config import Config
+        from ..train.checkpoint import CheckpointManager
+        from ..train.trainer import Trainer
+        cfg = Config()
+        cfg.model.name = model_name
+        cfg.model.dtype = "bfloat16" if dtype == jnp.bfloat16 \
+            else "float32"
+        cfg.dataset.image_size = input_size
+        trainer = Trainer(cfg)
+        restored = CheckpointManager(checkpoint_dir).restore_best(
+            trainer.state)
+        if restored is None:
+            raise FileNotFoundError(
+                f"no checkpoints under {checkpoint_dir}")
+        state, _meta = restored
+        variables = {"params": state.params}
+        variables.update(state.model_state or {})
+        params = jax.tree_util.tree_map(jnp.asarray, variables)
+    return PosePipeline(model, params, input_size=input_size,
+                        preprocess_mode=preprocess_mode, flip=flip,
+                        **kwargs)
+
+
 class PosePipeline:
     """High-level API: BGR uint8 numpy image in, list of people out.
 
