@@ -12,7 +12,6 @@ from __future__ import annotations
 import argparse
 import time
 
-import numpy as np
 
 from .picture_demo import add_common_args, build_pipeline
 

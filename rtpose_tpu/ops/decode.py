@@ -12,7 +12,7 @@ import functools
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
+
 
 from .grouping import People, group_peaks_device
 from .peaks import nms

@@ -23,7 +23,6 @@ differential testing (ops/grouping_ref.py).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Tuple
 
 import jax

@@ -17,7 +17,6 @@ from __future__ import annotations
 from typing import List, Sequence, TypeVar
 
 import jax
-import numpy as np
 
 T = TypeVar("T")
 
