@@ -59,6 +59,7 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     resume: bool = False
     keep_checkpoints: int = 3
+    checkpoint_every_steps: int = 0  # >0: mid-epoch elastic checkpoints
     seed: int = 0
     print_freq: int = 20
     data_workers: int = 8

@@ -188,8 +188,13 @@ class Trainer:
     # ---- epoch loops ------------------------------------------------------
 
     def run_epoch(self, loader: Iterable, train: bool = True,
-                  log_every: Optional[int] = None) -> Dict[str, float]:
+                  log_every: Optional[int] = None,
+                  ckpt=None) -> Dict[str, float]:
+        """One epoch; with `ckpt` and cfg.train.checkpoint_every_steps > 0,
+        also writes mid-epoch elastic checkpoints (the reference loses all
+        mid-epoch progress on a crash, SURVEY.md §5)."""
         log_every = log_every or self.cfg.train.print_freq
+        every = self.cfg.train.checkpoint_every_steps
         meters: Dict[str, AverageMeter] = {}
         t_data = AverageMeter()
         t_step = AverageMeter()
@@ -226,6 +231,13 @@ class Trainer:
                 if train:
                     self.metrics.log(int(np.asarray(self.state.step)),
                                      logs, prefix="train/")
+            if (train and ckpt is not None and every
+                    and (i + 1) % every == 0):
+                step = int(np.asarray(self.state.step))
+                ckpt.save(self.state, step=step,
+                          meta={"epoch": self.epoch, "mid_epoch": True,
+                                "best_val": self.best_val,
+                                "plateau": self.plateau.state_dict()})
         return {k: m.avg for k, m in meters.items()}
 
     def fit(self, train_loader, val_loader, *, epochs: Optional[int] = None,
@@ -245,7 +257,8 @@ class Trainer:
 
         for _ in range(epochs or self.cfg.train.epochs):
             self.maybe_release_backbone()
-            train_logs = self.run_epoch(train_loader, train=True)
+            train_logs = self.run_epoch(train_loader, train=True,
+                                        ckpt=ckpt)
             val_logs = self.run_epoch(val_loader, train=False)
             val_loss = val_logs["loss"]
             lr = self.plateau.step(val_loss)

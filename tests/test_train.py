@@ -104,3 +104,19 @@ def test_checkpoint_roundtrip(tmp_path):
     r_a = after["params"] if "params" in after else after
     np.testing.assert_array_equal(r_b["backbone"]["conv1_1"]["kernel"],
                                   r_a["backbone"]["conv1_1"]["kernel"])
+
+
+def test_mid_epoch_checkpointing(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    cfg.train.checkpoint_every_steps = 2
+    tr = Trainer(cfg)
+    from rtpose_tpu.train.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path), keep=5)
+    batch = _fake_batch(np.random.RandomState(3))
+    tr.run_epoch([batch, batch, batch, batch], train=True, ckpt=mgr)
+    steps = mgr._steps()
+    assert len(steps) == 2         # after step 2 and step 4
+    restored = mgr.restore_latest(tr.state)
+    assert restored is not None
+    _state, meta = restored
+    assert meta["mid_epoch"] is True
