@@ -142,27 +142,36 @@ class Trainer:
         self.tx = make_optimizer(cfg)
         step_fn, eval_fn = make_train_step(self.model, self.tx, cfg)
 
-        repl = pmesh.replicated(self.mesh)
-        data = pmesh.batch_sharding(self.mesh)
-        self.train_step = jax.jit(
-            step_fn,
-            in_shardings=(repl, data, data, data),
-            out_shardings=(repl, repl),
-            donate_argnums=(0,))
-        self.eval_step = jax.jit(eval_fn,
-                                 in_shardings=(repl, data, data, data),
-                                 out_shardings=repl)
-
         frozen_paths = self._frozen_paths()
         mask = freeze_mask(params, frozen_paths,
                            frozen=cfg.train.freeze_base_epochs > 0)
-        self.state = TrainState(
+        state_host = TrainState(
             step=jnp.zeros((), jnp.int32),
-            params=pmesh.replicate(self.mesh, params),
-            model_state=pmesh.replicate(self.mesh, model_state),
-            opt_state=pmesh.replicate(self.mesh, self.tx.init(params)),
+            params=params,
+            model_state=model_state,
+            opt_state=self.tx.init(params),
             lr=jnp.asarray(cfg.train.lr, jnp.float32),
-            grad_mask=pmesh.replicate(self.mesh, mask))
+            grad_mask=mask)
+
+        # Shardings: batch over `data`; params replicated, or channel-
+        # sharded over `model` when tensor parallelism is enabled
+        # (parallel/sharding.py) — gradients/momentum inherit via the
+        # matching pytree.
+        from ..parallel.sharding import state_shardings
+        num_model = cfg.parallel.num_model
+        state_sh = state_shardings(self.mesh, state_host, num_model)
+        data = pmesh.batch_sharding(self.mesh)
+        self.train_step = jax.jit(
+            step_fn,
+            in_shardings=(state_sh, data, data, data),
+            out_shardings=(state_sh, pmesh.replicated(self.mesh)),
+            donate_argnums=(0,))
+        self.eval_step = jax.jit(
+            eval_fn,
+            in_shardings=(state_sh, data, data, data),
+            out_shardings=pmesh.replicated(self.mesh))
+        self.state = jax.tree_util.tree_map(jax.device_put, state_host,
+                                            state_sh)
         self.plateau = ReduceLROnPlateau(
             lr=cfg.train.lr, factor=cfg.train.lr_factor,
             patience=cfg.train.lr_patience, cooldown=cfg.train.lr_cooldown)
