@@ -271,6 +271,22 @@ class RandomGrayscale(Transform):
         return sample
 
 
+class Blur(Transform):
+    """Random gaussian blur up to max_sigma (reference transforms.py:34-38)."""
+
+    def __init__(self, max_sigma: float = 5.0):
+        self.max_sigma = max_sigma
+
+    def __call__(self, sample, rng):
+        from scipy.ndimage import gaussian_filter
+        sample = _shallow(sample)
+        sigma = self.max_sigma * rng.random()
+        arr = np.asarray(sample.image)
+        arr = gaussian_filter(arr, sigma=(sigma, sigma, 0))
+        sample.image = PIL.Image.fromarray(arr)
+        return sample
+
+
 class JpegCompression(Transform):
     """Jpeg artifact augmentation (reference transforms.py:28-31)."""
 

@@ -16,6 +16,17 @@ import time
 from .picture_demo import add_common_args, build_pipeline
 
 
+def open_video(path):
+    """VideoCapture with rotation-metadata handling (the reference probes
+    ffmpeg for the rotate tag, video_demo.py:29-46; cv2 >= 4.5 exposes it
+    as CAP_PROP_ORIENTATION_META / _AUTO)."""
+    import cv2
+    cap = cv2.VideoCapture(path)
+    if cap.isOpened() and hasattr(cv2, "CAP_PROP_ORIENTATION_AUTO"):
+        cap.set(cv2.CAP_PROP_ORIENTATION_AUTO, 1)
+    return cap
+
+
 def iter_batches(cap, batch_size):
     import cv2
     done = False
@@ -45,7 +56,7 @@ def main():
     args = parser.parse_args()
 
     pipe = build_pipeline(args)
-    cap = cv2.VideoCapture(args.video)
+    cap = open_video(args.video)
     if not cap.isOpened():
         raise FileNotFoundError(args.video)
 

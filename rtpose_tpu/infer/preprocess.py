@@ -52,6 +52,24 @@ def crop_with_factor(im: np.ndarray, dest_size: int, factor: int = 8,
     return im_padded, im_scale, im.shape
 
 
+def letterbox(im: np.ndarray, target: int
+              ) -> Tuple[np.ndarray, float, Tuple[int, int]]:
+    """Aspect-preserving resize into a target square with gray padding
+    (the reference's unused `resize` helper, im_transform.py:5-24).
+
+    Returns (square image, scale, (dx, dy) top-left offset of content).
+    """
+    h, w = im.shape[:2]
+    scale = target / max(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    resized = cv2.resize(im, (nw, nh))
+    out = np.full((target, target) + im.shape[2:], 128, dtype=im.dtype)
+    dy = (target - nh) // 2
+    dx = (target - nw) // 2
+    out[dy:dy + nh, dx:dx + nw] = resized
+    return out, scale, (dx, dy)
+
+
 def pad_to_bucket(im: np.ndarray, bucket_multiple: int = 64
                   ) -> Tuple[np.ndarray, Tuple[int, int]]:
     """Zero-pad H/W up to the next multiple of `bucket_multiple`.

@@ -160,3 +160,16 @@ def test_train_pipeline_runs():
     out = pipe(s, np.random.default_rng(1))
     assert out.image.size == (64, 64)
     assert out.keypoints.shape == (2, 17, 3)
+
+
+def test_blur_transform():
+    img = PIL.Image.fromarray(
+        (np.random.RandomState(0).rand(32, 32, 3) * 255).astype(np.uint8))
+    s = T.Sample.new(img, np.zeros((1, 17, 3)))
+    out = T.Blur(max_sigma=3.0)(s, np.random.default_rng(1))
+    a = np.asarray(s.image, float)
+    b = np.asarray(out.image, float)
+    assert a.shape == b.shape
+    # blur reduces high-frequency energy
+    assert np.abs(np.diff(b, axis=0)).mean() <= np.abs(
+        np.diff(a, axis=0)).mean()

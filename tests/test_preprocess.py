@@ -59,3 +59,13 @@ def test_pad_to_bucket():
     assert out.shape == (128, 192, 3)
     assert (h, w) == (100, 130)
     assert out[:100, :130].all() and not out[100:].any()
+
+
+def test_letterbox():
+    img = np.full((50, 100, 3), 7, np.uint8)
+    out, scale, (dx, dy) = P.letterbox(img, 64)
+    assert out.shape == (64, 64, 3)
+    assert scale == 64 / 100
+    assert dx == 0 and dy == (64 - 32) // 2
+    assert (out[dy:dy + 32, :] == 7).all()
+    assert (out[:dy] == 128).all()
