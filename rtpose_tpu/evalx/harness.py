@@ -89,6 +89,70 @@ def run_eval(image_dir: str, ann_file: str, pipeline: PosePipeline, *,
     return eval_results(outputs, coco, img_ids)
 
 
+def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
+                     *, batch_size: int = 16,
+                     img_ids: Optional[Sequence[int]] = None,
+                     limit: Optional[int] = None,
+                     results_path: Optional[str] = None
+                     ) -> Dict[str, float]:
+    """Throughput-oriented eval: bucket images by padded shape, run the
+    jitted pipeline on batches within each bucket (one compile per bucket
+    shape), decode on device in batch.
+
+    For multi-host, shard img_ids with parallel.distributed.host_shard and
+    merge per-host results files.
+    """
+    import cv2
+
+    coco = CocoJson(ann_file)
+    person_cats = coco.cat_ids("person")
+    if img_ids is None:
+        img_ids = coco.img_ids(person_cats)
+    img_ids = list(img_ids)[:limit] if limit else list(img_ids)
+
+    # group by padded shape after crop_with_factor
+    from collections import defaultdict
+
+    from ..infer.preprocess import crop_with_factor
+    buckets = defaultdict(list)
+    for img_id in img_ids:
+        info = coco.image_info(img_id)
+        h, w = info["height"], info["width"]
+        scale = pipeline.input_size / min(h, w)
+        import math
+        ph = math.ceil(h * scale / pipeline.downsample) * pipeline.downsample
+        pw = math.ceil(w * scale / pipeline.downsample) * pipeline.downsample
+        buckets[(ph, pw)].append(img_id)
+
+    outputs: List[dict] = []
+    done = 0
+    for shape, ids in sorted(buckets.items(),
+                             key=lambda kv: -len(kv[1])):
+        for i in range(0, len(ids), batch_size):
+            chunk = ids[i:i + batch_size]
+            frames, metas = [], []
+            for img_id in chunk:
+                info = coco.image_info(img_id)
+                img = cv2.imread(os.path.join(image_dir,
+                                              info["file_name"]))
+                if img is None:
+                    raise FileNotFoundError(info["file_name"])
+                frames.append(img)
+            people_lists, metas = pipeline.run_batch(frames)
+            for img_id, people, meta in zip(chunk, people_lists, metas):
+                h_up, w_up = meta["upsampled"]
+                upk = (h_up / meta["scale"], w_up / meta["scale"])
+                append_result(img_id, people, upk, outputs)
+            done += len(chunk)
+        print(f"bucket {shape}: {len(ids)} images done "
+              f"({done}/{len(img_ids)})")
+
+    if results_path:
+        with open(results_path, "w") as f:
+            json.dump(outputs, f)
+    return eval_results(outputs, coco, img_ids)
+
+
 def eval_results(outputs: List[dict], coco: CocoJson,
                  img_ids: Sequence[int]) -> Dict[str, float]:
     """Score a results list against annotations (reference
