@@ -97,10 +97,17 @@ def make_train_step(model, tx, cfg: Config):
             state.params, state.model_state, images, keypoints, mask, True)
         grads = jax.tree_util.tree_map(lambda g, m: g * m, grads,
                                        state.grad_mask)
+        # failure guard: a non-finite loss (bad batch, overflow) skips the
+        # update instead of corrupting params/momentum — the reference has
+        # no failure handling at all (SURVEY.md §5)
+        finite = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree_util.tree_map(lambda u: u * state.lr, updates)
         params = optax.apply_updates(state.params, updates)
         logs["loss"] = loss
+        logs["skipped_nonfinite"] = (~finite).astype(jnp.float32)
         return state.replace(step=state.step + 1, params=params,
                              model_state=new_model_state,
                              opt_state=opt_state), logs

@@ -80,3 +80,25 @@ def test_masked_loss_ignores_masked_region():
                       jnp.asarray(b2["keypoints"]), jnp.asarray(b2["mask"]))
     # GT differs only inside masked rows -> loss nearly unchanged
     assert abs(float(l1["loss"]) - float(l2["loss"])) < 1e-5
+
+
+def test_nonfinite_loss_skips_update():
+    cfg = Config()
+    cfg.model.num_stages = 1
+    cfg.model.dtype = "float32"
+    cfg.dataset.image_size = 64
+    cfg.train.lr = 0.1
+    cfg.train.freeze_base_epochs = 0
+    cfg.train.print_freq = 100
+    tr = Trainer(cfg)
+    p0 = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    bad = _batch(np.random.RandomState(5), stride=8)
+    bad["image"][:] = np.nan
+    tr.state, logs = tr.train_step(
+        tr.state, jnp.asarray(bad["image"]), jnp.asarray(bad["keypoints"]),
+        jnp.asarray(bad["mask"]))
+    assert float(np.asarray(logs["skipped_nonfinite"])) == 1.0
+    p1 = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(a, b)
