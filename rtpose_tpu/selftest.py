@@ -1,0 +1,134 @@
+"""On-device self-test: correctness + speed sanity in one command.
+
+    python -m rtpose_tpu.selftest [--fps]
+
+Runs on whatever accelerator jax sees (TPU in production, CPU otherwise):
+1. device decode vs host oracle on synthetic scenes (exact parity)
+2. GT synthesis device-vs-host equivalence
+3. flip-TTA algebra round trip
+4. optional: flagship-model serving FPS (--fps)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _synth(seed, n_people, h=46, w=46):
+    # lightweight local copy of the test-suite generator (tests/ is not a
+    # package at runtime)
+    sys.path.insert(0, "tests")
+    try:
+        from util_synth import synth_example
+        return synth_example(seed=seed, n_people=n_people, h=h, w=w)
+    finally:
+        sys.path.pop(0)
+
+
+def check_decode_parity(n_scenes: int = 6) -> bool:
+    import jax.numpy as jnp
+
+    from .ops import grouping_ref as G
+    from .ops.decode import decode_poses, people_to_numpy
+
+    ok = True
+    for seed in range(n_scenes):
+        _, heat, paf = _synth(seed, 1 + seed % 5)
+        w_up, h_up = heat.shape[1] * 8, heat.shape[0] * 8
+        host_people, host_scores = G.paf_to_people(heat, paf)
+        dev = decode_poses(jnp.asarray(heat), jnp.asarray(paf))
+        dev_people = people_to_numpy(dev, w_up, h_up)
+        if len(dev_people) != len(host_people):
+            print(f"  scene {seed}: people count mismatch "
+                  f"(host {len(host_people)} vs device {len(dev_people)})")
+            ok = False
+    print(f"decode parity over {n_scenes} scenes: {'OK' if ok else 'FAIL'}")
+    return ok
+
+
+def check_gt_equivalence() -> bool:
+    from .data.gt import ground_truth_maps, ground_truth_maps_device
+
+    rng = np.random.RandomState(0)
+    kps = np.zeros((3, 18, 3))
+    kps[:, :, 0] = rng.uniform(10, 350, (3, 18))
+    kps[:, :, 1] = rng.uniform(10, 350, (3, 18))
+    kps[:, :, 2] = 2
+    h1, p1 = ground_truth_maps(kps)
+    h2, p2 = ground_truth_maps_device(kps)
+    ok = (np.allclose(np.asarray(h2), h1, atol=2e-6)
+          and np.allclose(np.asarray(p2), p1, atol=2e-6))
+    print(f"GT synthesis host/device equivalence: {'OK' if ok else 'FAIL'}")
+    return ok
+
+
+def check_flip_algebra() -> bool:
+    import jax.numpy as jnp
+
+    from .infer.pipeline import average_flip
+    from .skeleton import FLIP_HEAT, FLIP_PAF, NUM_LIMBS
+
+    rng = np.random.RandomState(0)
+    heat = rng.rand(12, 16, 19).astype(np.float32)
+    paf = rng.rand(12, 16, 38).astype(np.float32)
+    neg = np.ones(2 * NUM_LIMBS, np.float32)
+    neg[0::2] = -1
+    heat_f = heat[:, ::-1, :][:, :, np.array(FLIP_HEAT)]
+    paf_f = (paf * neg)[:, ::-1, :][:, :, np.array(FLIP_PAF)]
+    h, p = average_flip(jnp.asarray(heat), jnp.asarray(heat_f),
+                        jnp.asarray(paf), jnp.asarray(paf_f))
+    ok = (np.allclose(np.asarray(h), heat, atol=1e-6)
+          and np.allclose(np.asarray(p), paf, atol=1e-6))
+    print(f"flip-TTA algebra: {'OK' if ok else 'FAIL'}")
+    return ok
+
+
+def measure_fps() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from .models import get_model
+    from .ops.decode import decode_poses
+
+    model = get_model("vgg19", num_stages=6, dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 368, 368, 3)))
+
+    @jax.jit
+    def serve(params, image):
+        out = model.apply(params, image[None])
+        p = decode_poses.__wrapped__(out.heatmap[0], out.paf[0])
+        return p.coords
+
+    x = jnp.zeros((368, 368, 3))
+    jax.block_until_ready(serve(params, x))
+    t0 = time.perf_counter()
+    n = 20
+    for _ in range(n):
+        r = serve(params, x)
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+    print(f"compute latency (no host transfers): {dt / n * 1000:.2f} "
+          f"ms/frame ({n / dt:.0f} FPS)")
+
+
+def main():
+    import jax
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--fps", action="store_true",
+                        help="also measure flagship serving latency")
+    args = parser.parse_args()
+    print(f"devices: {jax.devices()}")
+    ok = all([check_decode_parity(), check_gt_equivalence(),
+              check_flip_algebra()])
+    if args.fps:
+        measure_fps()
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
