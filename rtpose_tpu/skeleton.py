@@ -44,6 +44,13 @@ BACKGROUND_CHANNEL = NUM_PARTS       # index 18
 
 _IDX = {name: i for i, name in enumerate(PART_NAMES)}
 
+# Enum view for API familiarity (reference lib/utils/common.py:5-24)
+import enum as _enum  # noqa: E402
+
+CocoPart = _enum.IntEnum(
+    "CocoPart", {**{n: i for i, n in enumerate(PART_NAMES)},
+                 "background": len(PART_NAMES)})
+
 
 def _mirror_name(name: str) -> str:
     if name.startswith("left_"):

@@ -115,3 +115,24 @@ def test_metric_logger_jsonl(tmp_path):
     assert len(lines) == 2
     rec = json.loads(lines[1])
     assert rec["train/loss"] == 0.25
+
+
+def test_cocopart_enum():
+    from rtpose_tpu.skeleton import CocoPart
+    assert CocoPart.nose == 0
+    assert CocoPart.neck == 1
+    assert CocoPart.left_ear == 17
+    assert CocoPart.background == 18
+
+
+def test_profiler_trace_smoke(tmp_path):
+    from rtpose_tpu.utils.profiling import annotate, trace
+    with trace(str(tmp_path)):
+        with annotate("step"):
+            _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    # a plugin/profile directory with trace artifacts appears
+    import os
+    found = []
+    for root, _dirs, files in os.walk(tmp_path):
+        found.extend(files)
+    assert found, "no trace artifacts written"
