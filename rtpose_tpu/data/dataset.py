@@ -252,6 +252,15 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker(worker_id: int):
             wrng = np.random.Generator(
                 np.random.Philox([self.seed, self.epoch, worker_id]))
@@ -262,8 +271,9 @@ class Loader:
                            for i in batches[bi]]
                 batch = {k: np.stack([s[k] for s in samples])
                          for k in samples[0]}
-                q.put((bi, batch))
-            q.put((None, None))
+                if not _put((bi, batch)):
+                    return
+            _put((None, None))
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(self.num_workers)]

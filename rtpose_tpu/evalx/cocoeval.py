@@ -134,13 +134,12 @@ def _evaluate_image(gts: List[dict], dts: List[dict],
 
 
 def _kp_area(dt: dict) -> float:
-    """Detection 'area' proxy: tight bbox of predicted keypoints
-    (pycocotools uses the result's bbox when present; keypoint results
-    without bbox fall back to the keypoint extent)."""
+    """Detection 'area': bbox extent of ALL keypoint triplets including
+    zero-filled missing parts — protocol-exact with pycocotools loadRes
+    for keypoint results (it does not filter by visibility)."""
     kps = np.asarray(dt["keypoints"], float).reshape(-1, 3)
-    pts = kps[kps[:, 2] > 0] if (kps[:, 2] > 0).any() else kps
-    w = pts[:, 0].max() - pts[:, 0].min()
-    h = pts[:, 1].max() - pts[:, 1].min()
+    w = kps[:, 0].max() - kps[:, 0].min()
+    h = kps[:, 1].max() - kps[:, 1].min()
     return float(w * h)
 
 
