@@ -141,69 +141,84 @@ def _device_impl():
         """keypoints: (N, 18, 3) float32 (pad with v=0 rows).
 
         Returns (heat (gy,gx,19), paf (gy,gx,38)).
+
+        A lax.scan over persons keeps live tensors at (parts, gy, gx) —
+        materializing the (N, 19, gy, gx) broadcasts instead costs
+        gigabytes of HBM traffic per 72-image batch (measured 216 ms ->
+        ~5 ms after this rewrite).
         """
         start = stride / 2.0 - 0.5
         xs = jnp.arange(grid_x, dtype=jnp.float32) * stride + start
         ys = jnp.arange(grid_y, dtype=jnp.float32) * stride + start
-        xx = xs[None, :]
-        yy = ys[:, None]
+        xx = xs[None, :]                   # (1, gx) pixel coords
+        yy = ys[:, None]                   # (gy, 1)
+        gxx = jnp.arange(grid_x, dtype=jnp.float32)[None, :]
+        gyy = jnp.arange(grid_y, dtype=jnp.float32)[:, None]
 
-        kx = keypoints[:, :, 0]            # (N, 18)
-        ky = keypoints[:, :, 1]
-        kv = keypoints[:, :, 2] > 0.5
+        def body(carry, person):
+            heat_acc, paf_x_acc, paf_y_acc, count = carry
+            kx = person[:, 0]              # (18,)
+            ky = person[:, 1]
+            kv = person[:, 2] > 0.5
 
-        # heatmaps: sum of per-person gaussians, clamped at 1
-        d2 = ((xx[None, None] - kx[:, :, None, None]) ** 2
-              + (yy[None, None] - ky[:, :, None, None]) ** 2)
-        expo = d2 / (2.0 * sigma * sigma)
-        g = jnp.where((expo <= LN100) & kv[:, :, None, None],
-                      jnp.exp(-expo), 0.0)
-        heat_parts = jnp.minimum(g.sum(axis=0), 1.0)     # (18, gy, gx)
+            # heatmaps: accumulate this person's gaussians
+            d2 = ((xx[None] - kx[:, None, None]) ** 2
+                  + (yy[None] - ky[:, None, None]) ** 2)   # (18, gy, gx)
+            expo = d2 / (2.0 * sigma * sigma)
+            g = jnp.where((expo <= LN100) & kv[:, None, None],
+                          jnp.exp(-expo), 0.0)
+            heat_acc = heat_acc + g
+
+            # pafs: masked unit vectors for this person's limbs
+            ax = kx[LIMB_A] / stride       # (19,)
+            ay = ky[LIMB_A] / stride
+            bx = kx[LIMB_B] / stride
+            by = ky[LIMB_B] / stride
+            lv = kv[LIMB_A] & kv[LIMB_B]
+            vx = bx - ax
+            vy = by - ay
+            norm = jnp.sqrt(vx * vx + vy * vy)
+            lv = lv & (norm > 0)
+            un = jnp.maximum(norm, 1e-12)
+            ux = vx / un
+            uy = vy / un
+
+            # rounded bounding box + perpendicular-distance test
+            # (reference paf.py:35-46)
+            min_x = jnp.round(jnp.minimum(ax, bx) - limb_width)
+            max_x = jnp.round(jnp.maximum(ax, bx) + limb_width)
+            min_y = jnp.round(jnp.minimum(ay, by) - limb_width)
+            max_y = jnp.round(jnp.maximum(ay, by) + limb_width)
+
+            bax = gxx[None] - ax[:, None, None]          # (19, gy, gx)
+            bay = gyy[None] - ay[:, None, None]
+            perp = jnp.abs(bax * uy[:, None, None]
+                           - bay * ux[:, None, None])
+            in_box = ((gxx[None] >= min_x[:, None, None])
+                      & (gxx[None] < max_x[:, None, None])
+                      & (gyy[None] >= min_y[:, None, None])
+                      & (gyy[None] < max_y[:, None, None]))
+            mask = (perp < limb_width) & in_box & lv[:, None, None]
+
+            paf_x_acc = paf_x_acc + jnp.where(mask, ux[:, None, None], 0.0)
+            paf_y_acc = paf_y_acc + jnp.where(mask, uy[:, None, None], 0.0)
+            count = count + mask.astype(jnp.float32)
+            return (heat_acc, paf_x_acc, paf_y_acc, count), None
+
+        init = (jnp.zeros((NUM_PARTS, grid_y, grid_x)),
+                jnp.zeros((NUM_LIMBS, grid_y, grid_x)),
+                jnp.zeros((NUM_LIMBS, grid_y, grid_x)),
+                jnp.zeros((NUM_LIMBS, grid_y, grid_x)))
+        (heat_sum, paf_x, paf_y, count), _ = jax.lax.scan(
+            body, init, keypoints)
+
+        heat_parts = jnp.minimum(heat_sum, 1.0)          # (18, gy, gx)
         bg = jnp.maximum(1.0 - heat_parts.max(axis=0), 0.0)
         heat = jnp.concatenate([heat_parts, bg[None]], axis=0)
 
-        # pafs: masked unit vectors averaged over persons
-        gxx = jnp.arange(grid_x, dtype=jnp.float32)[None, :]
-        gyy = jnp.arange(grid_y, dtype=jnp.float32)[:, None]
-        ax = kx[:, LIMB_A] / stride        # (N, 19)
-        ay = ky[:, LIMB_A] / stride
-        bx = kx[:, LIMB_B] / stride
-        by = ky[:, LIMB_B] / stride
-        lv = kv[:, LIMB_A] & kv[:, LIMB_B]
-        vec_x = bx - ax
-        vec_y = by - ay
-        norm = jnp.sqrt(vec_x ** 2 + vec_y ** 2)
-        lv = lv & (norm > 0)
-        un = jnp.maximum(norm, 1e-12)
-        ux = vec_x / un
-        uy = vec_y / un
-
-        # region bounds replicate the reference's rounded bounding box +
-        # perpendicular-distance test (paf.py:35-46)
-        min_x = jnp.round(jnp.minimum(ax, bx) - limb_width)
-        max_x = jnp.round(jnp.maximum(ax, bx) + limb_width)
-        min_y = jnp.round(jnp.minimum(ay, by) - limb_width)
-        max_y = jnp.round(jnp.maximum(ay, by) + limb_width)
-
-        bax = gxx[None, None] - ax[:, :, None, None]    # (N, 19, gy, gx)
-        bay = gyy[None, None] - ay[:, :, None, None]
-        perp = jnp.abs(bax * uy[:, :, None, None]
-                       - bay * ux[:, :, None, None])
-        in_box = ((gxx[None, None] >= min_x[:, :, None, None])
-                  & (gxx[None, None] < max_x[:, :, None, None])
-                  & (gyy[None, None] >= min_y[:, :, None, None])
-                  & (gyy[None, None] < max_y[:, :, None, None]))
-        mask = (perp < limb_width) & in_box & lv[:, :, None, None]
-
-        count = mask.sum(axis=0)                        # (19, gy, gx)
-        div = jnp.maximum(count, 1)
-        paf_x = (jnp.where(mask, ux[:, :, None, None], 0.0).sum(axis=0)
-                 / div)
-        paf_y = (jnp.where(mask, uy[:, :, None, None], 0.0).sum(axis=0)
-                 / div)
-        paf = jnp.stack([paf_x, paf_y], axis=1)          # (19, 2, gy, gx)
+        div = jnp.maximum(count, 1.0)
+        paf = jnp.stack([paf_x / div, paf_y / div], axis=1)
         paf = paf.reshape(2 * NUM_LIMBS, grid_y, grid_x)
-
         return (jnp.moveaxis(heat, 0, -1), jnp.moveaxis(paf, 0, -1))
 
     return gt_maps
@@ -229,15 +244,21 @@ def ground_truth_maps_device(keypoints, *, input_y: int = 368,
               stride=stride, sigma=sigma, limb_width=limb_width)
 
 
+@functools.lru_cache(maxsize=None)
+def _get_batch_fn(grid_y, grid_x, stride, sigma, limb_width):
+    import jax
+    fn = _device_impl()
+    return jax.jit(jax.vmap(functools.partial(
+        fn, grid_y=grid_y, grid_x=grid_x, stride=stride, sigma=sigma,
+        limb_width=limb_width)))
+
+
 def ground_truth_maps_batch(keypoints_batch, *, input_y: int = 368,
                             input_x: int = 368, stride: int = 8,
                             sigma: float = 7.0,
                             limb_width: float = LIMB_WIDTH):
     """Batched device GT synthesis: (B, N, 18, 3) -> (B, gy, gx, 19/38)."""
-    import jax
     import jax.numpy as jnp
-    fn = _device_impl()
-    bfn = jax.vmap(functools.partial(
-        fn, grid_y=input_y // stride, grid_x=input_x // stride,
-        stride=stride, sigma=sigma, limb_width=limb_width))
+    bfn = _get_batch_fn(input_y // stride, input_x // stride, stride,
+                        sigma, limb_width)
     return bfn(jnp.asarray(keypoints_batch, jnp.float32))
