@@ -43,7 +43,8 @@ def _load_builtin(name: str) -> None:
     if name == "vgg19":
         from .vgg19 import VGG19RTPose
         _REGISTRY["vgg19"] = lambda **kw: VGG19RTPose(
-            num_stages=kw.get("num_stages", 6), dtype=kw.get("dtype"))
+            num_stages=kw.get("num_stages", 6), dtype=kw.get("dtype"),
+            remat=kw.get("remat", False))
     elif name == "mobilenet":
         from .mobilenet_v2 import MobileNetRTPose
         _REGISTRY["mobilenet"] = lambda **kw: MobileNetRTPose(

@@ -123,14 +123,19 @@ class CPMStages(nn.Module):
 
     Stage 1 runs on backbone features; stages 2..T run on
     concat([paf, heat, features]) (reference rtpose_vgg.py:158-198).
+    `remat` rematerializes each refinement branch in the backward pass
+    (jax.checkpoint), trading ~25% step time for ~2x larger trainable
+    batch per chip.
     """
     num_stages: int = 6
     paf_channels: int = NUM_PAF_CHANNELS
     heat_channels: int = NUM_HEATMAPS
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, features) -> ModelOutput:
+        stage_t = nn.remat(CPMStageT) if self.remat else CPMStageT
         pafs, heats = [], []
         paf = CPMStage1(self.paf_channels, dtype=self.dtype,
                         name="stage1_L1")(features)
@@ -142,10 +147,10 @@ class CPMStages(nn.Module):
             x = jnp.concatenate(
                 [paf.astype(self.dtype), heat.astype(self.dtype), features],
                 axis=-1)
-            paf = CPMStageT(self.paf_channels, dtype=self.dtype,
-                            name=f"stage{t}_L1")(x)
-            heat = CPMStageT(self.heat_channels, dtype=self.dtype,
-                             name=f"stage{t}_L2")(x)
+            paf = stage_t(self.paf_channels, dtype=self.dtype,
+                          name=f"stage{t}_L1")(x)
+            heat = stage_t(self.heat_channels, dtype=self.dtype,
+                           name=f"stage{t}_L2")(x)
             pafs.append(paf)
             heats.append(heat)
         return ModelOutput(

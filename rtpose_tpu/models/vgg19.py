@@ -55,13 +55,14 @@ class VGG19RTPose(nn.Module):
     """Full rtpose model: VGG19 backbone + 6-stage CPM cascade."""
     num_stages: int = 6
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images) -> ModelOutput:
         feat = VGG19Backbone(dtype=self.dtype, name="backbone")(
             images.astype(self.dtype))
         return CPMStages(num_stages=self.num_stages, dtype=self.dtype,
-                         name="stages")(feat)
+                         remat=self.remat, name="stages")(feat)
 
     # Parameter paths of the 10 ImageNet-pretrained VGG convs, frozen during
     # the first training phase (reference train_VGG19.py:305-320).

@@ -54,3 +54,27 @@ def test_shufflenet_channel_shuffle():
 def test_unknown_model_raises():
     with pytest.raises(KeyError):
         get_model("resnext9000")
+
+
+def test_remat_same_output_and_grad():
+    import jax
+    from rtpose_tpu.models import get_model
+    m0 = get_model("vgg19", num_stages=2, dtype=jnp.float32)
+    m1 = get_model("vgg19", num_stages=2, dtype=jnp.float32, remat=True)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 48, 48, 3),
+                    jnp.float32)
+    p = m0.init(jax.random.PRNGKey(0), x)
+    o0 = m0.apply(p, x)
+    o1 = m1.apply(p, x)
+    np.testing.assert_allclose(np.asarray(o0.pafs), np.asarray(o1.pafs),
+                               atol=1e-6)
+
+    def loss(params, model):
+        out = model.apply(params, x)
+        return jnp.sum(out.heatmaps ** 2)
+
+    g0 = jax.grad(loss)(p, m0)
+    g1 = jax.grad(loss)(p, m1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
