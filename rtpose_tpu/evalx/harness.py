@@ -110,10 +110,8 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
         img_ids = coco.img_ids(person_cats)
     img_ids = list(img_ids)[:limit] if limit else list(img_ids)
 
-    # group by padded shape after crop_with_factor
+    # group by the padded shape crop_with_factor will produce
     from collections import defaultdict
-
-    from ..infer.preprocess import crop_with_factor
     buckets = defaultdict(list)
     for img_id in img_ids:
         info = coco.image_info(img_id)

@@ -89,17 +89,19 @@ def make_infer_fn(model, *, preprocess_mode: str = "vgg",
 
 
 def load_pipeline(checkpoint_dir: str = None, *, torch_weights: str = None,
-                  model_name: str = "vgg19", input_size: int = 368,
-                  preprocess_mode: str = "vgg", flip: bool = True,
-                  dtype=None, **kwargs) -> "PosePipeline":
+                  model_name: str = "vgg19", num_stages: int = 6,
+                  input_size: int = 368, preprocess_mode: str = "vgg",
+                  flip: bool = True, dtype=None,
+                  **kwargs) -> "PosePipeline":
     """Build a serving pipeline from an orbax checkpoint dir (best step) or
-    a reference torch .pth/.ckpt."""
+    a reference torch .pth/.ckpt.  Architecture settings must match the
+    checkpoint (model_name/num_stages)."""
     import jax
 
     from ..models import get_model
 
     dtype = dtype or jnp.bfloat16
-    model = get_model(model_name, dtype=dtype)
+    model = get_model(model_name, num_stages=num_stages, dtype=dtype)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, input_size, input_size, 3)))
     if torch_weights:
@@ -114,6 +116,7 @@ def load_pipeline(checkpoint_dir: str = None, *, torch_weights: str = None,
         from ..train.trainer import Trainer
         cfg = Config()
         cfg.model.name = model_name
+        cfg.model.num_stages = num_stages
         cfg.model.dtype = "bfloat16" if dtype == jnp.bfloat16 \
             else "float32"
         cfg.dataset.image_size = input_size
