@@ -19,7 +19,7 @@ def build_pipeline(args):
                                        load_torch_checkpoint)
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
-    model = get_model(args.model, dtype=dtype)
+    model = get_model(args.model, num_stages=args.stages, dtype=dtype)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, args.input_size, args.input_size, 3)))
     if args.weight:
@@ -38,6 +38,8 @@ def add_common_args(parser):
     parser.add_argument("--preprocess", default="rtpose",
                         choices=["rtpose", "vgg", "inception", "ssd"])
     parser.add_argument("--input-size", type=int, default=368)
+    parser.add_argument("--stages", type=int, default=6,
+                        help="refinement stages / stacks")
     parser.add_argument("--flip", action="store_true",
                         help="left/right flip TTA")
     parser.add_argument("--fp32", action="store_true")
