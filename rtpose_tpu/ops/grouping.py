@@ -118,7 +118,7 @@ def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
 
 
 def greedy_connections(scores: jax.Array, valid: jax.Array,
-                       max_conns: int = 128
+                       max_conns: int = 256
                        ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Greedy 1-1 assignment per pair over score-sorted candidates.
 
@@ -291,7 +291,7 @@ def assemble_people(conn_ia, conn_ib, conn_score, conn_valid,
 def group_peaks_device(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
                        thresh_vector_cnt: int = 6, max_people: int = 64,
                        min_part_cnt: int = 4, min_human_score: float = 0.3,
-                       max_candidates: int = 128,
+                       max_candidates: int = 256,
                        max_total_conns: int = 160) -> People:
     """peaks + low-res PAF -> fixed-shape people."""
     scores, valid = score_connections(peaks, paf, factor=factor,
