@@ -65,13 +65,21 @@ jax.tree_util.register_pytree_node(
 
 
 def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
-                      thresh_vector_cnt: int = 6
+                      thresh_vector_cnt: int = 6,
+                      sampling: str = "onehot"
                       ) -> Tuple[jax.Array, jax.Array]:
     """Score all (pair, ia, ib) candidates.
 
     paf: (h, w, 38) low-res PAF.  Returns (scores, valid), both
     (NUM_GROUP_PAIRS, K, K); scores are criterion2 values
     (reference pafprocess.cpp:56-92).
+
+    sampling: 'onehot' (default) reads the 19xKxKx10 PAF samples with exact
+    one-hot row/column contractions — TPU has no hardware gather and the
+    naive `jnp.take` formulation ('gather', kept for differential tests)
+    costs ~400 ms per 72-image batch vs ~10 ms for the contraction.
+    One-hot x value products are exact in fp32 (weights are 0/1), so both
+    paths are bit-identical.
     """
     h, w, _ = paf.shape
     h_up = h * factor
@@ -100,12 +108,26 @@ def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
     # nearest-upsample sampling == low-res index division
     gx = jnp.clip(lx // factor, 0, w - 1)
     gy = jnp.clip(ly // factor, 0, h - 1)
-    base = gy * (w * 38) + gx * 38
-    paf_flat = paf.reshape(-1)
-    chx = _PAIR_CHX[:, None, None, None]
-    chy = _PAIR_CHY[:, None, None, None]
-    px = jnp.take(paf_flat, base + chx)
-    py = jnp.take(paf_flat, base + chy)
+    if sampling == "onehot":
+        pafx = jnp.moveaxis(paf[:, :, _PAIR_CHX], -1, 0)   # (19, h, w)
+        pafy = jnp.moveaxis(paf[:, :, _PAIR_CHY], -1, 0)
+        yoh = (gy[..., None]
+               == jnp.arange(h, dtype=jnp.int32)).astype(jnp.float32)
+        xoh = (gx[..., None]
+               == jnp.arange(w, dtype=jnp.int32)).astype(jnp.float32)
+        rowx = jnp.einsum("pabsr,prc->pabsc", yoh, pafx,
+                          preferred_element_type=jnp.float32)
+        rowy = jnp.einsum("pabsr,prc->pabsc", yoh, pafy,
+                          preferred_element_type=jnp.float32)
+        px = jnp.sum(rowx * xoh, axis=-1)
+        py = jnp.sum(rowy * xoh, axis=-1)
+    else:
+        base = gy * (w * 38) + gx * 38
+        paf_flat = paf.reshape(-1)
+        chx = _PAIR_CHX[:, None, None, None]
+        chy = _PAIR_CHY[:, None, None, None]
+        px = jnp.take(paf_flat, base + chx)
+        py = jnp.take(paf_flat, base + chy)
     sample_score = ux[..., None] * px + uy[..., None] * py  # (19,Ka,Kb,10)
 
     cnt = jnp.sum(sample_score > THRESH_VECTOR_SCORE, axis=-1)
