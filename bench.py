@@ -8,7 +8,7 @@ batches in flight so transfer RTT overlaps compute — the realistic
 production serving shape.
 
 The driver's TPU is tunnel-attached and its throughput fluctuates heavily
-between runs (measured 60 MB/s to 1.6 GB/s H2D on identical code);
+between runs (measured 60 MB/s to 1.6 GB/s H2D on identical code; block_until_ready resolves at enqueue so only readbacks time truthfully);
 the benchmark therefore runs 3 trials and reports the best sustained
 throughput.  Baseline: the BASELINE.json north star of 60 FPS/chip at
 368x368 (the reference publishes no FPS; its pipeline is a per-frame GPU
