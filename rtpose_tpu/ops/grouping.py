@@ -109,18 +109,20 @@ def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
     gx = jnp.clip(lx // factor, 0, w - 1)
     gy = jnp.clip(ly // factor, 0, h - 1)
     if sampling == "onehot":
-        pafx = jnp.moveaxis(paf[:, :, _PAIR_CHX], -1, 0)   # (19, h, w)
-        pafy = jnp.moveaxis(paf[:, :, _PAIR_CHY], -1, 0)
+        # (19, h, w, 2): per-pair x/y channel planes stacked so one einsum
+        # pass over the (large) row one-hot covers both components
+        pafxy = jnp.stack([jnp.moveaxis(paf[:, :, _PAIR_CHX], -1, 0),
+                           jnp.moveaxis(paf[:, :, _PAIR_CHY], -1, 0)],
+                          axis=-1)
         yoh = (gy[..., None]
                == jnp.arange(h, dtype=jnp.int32)).astype(jnp.float32)
         xoh = (gx[..., None]
                == jnp.arange(w, dtype=jnp.int32)).astype(jnp.float32)
-        rowx = jnp.einsum("pabsr,prc->pabsc", yoh, pafx,
-                          preferred_element_type=jnp.float32)
-        rowy = jnp.einsum("pabsr,prc->pabsc", yoh, pafy,
-                          preferred_element_type=jnp.float32)
-        px = jnp.sum(rowx * xoh, axis=-1)
-        py = jnp.sum(rowy * xoh, axis=-1)
+        rowxy = jnp.einsum("pabsr,prcz->pabscz", yoh, pafxy,
+                           preferred_element_type=jnp.float32)
+        pxy = jnp.sum(rowxy * xoh[..., None], axis=-2)  # (19,Ka,Kb,10,2)
+        px = pxy[..., 0]
+        py = pxy[..., 1]
     else:
         base = gy * (w * 38) + gx * 38
         paf_flat = paf.reshape(-1)
