@@ -26,8 +26,8 @@ import numpy as np
 
 BATCH = 64
 DEPTH = 3      # in-flight batches
-ITERS = 16     # timed batches per trial
-TRIALS = 3
+ITERS = 14     # timed batches per trial
+TRIALS = 4
 
 
 def run_trial(serve, params, batches, device_put):
