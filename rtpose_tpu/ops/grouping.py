@@ -118,7 +118,12 @@ def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
                == jnp.arange(h, dtype=jnp.int32)).astype(jnp.float32)
         xoh = (gx[..., None]
                == jnp.arange(w, dtype=jnp.int32)).astype(jnp.float32)
+        # precision=HIGHEST: the TPU default lowers fp32 einsum to a
+        # single bf16 MXU pass, which rounds the PAF values (~2e-3 error —
+        # enough to flip threshold decisions); the multi-pass mode is
+        # bit-exact for 0/1 weights
         rowxy = jnp.einsum("pabsr,prcz->pabscz", yoh, pafxy,
+                           precision=jax.lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32)
         pxy = jnp.sum(rowxy * xoh[..., None], axis=-2)  # (19,Ka,Kb,10,2)
         px = pxy[..., 0]
