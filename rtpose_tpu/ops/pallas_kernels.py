@@ -44,9 +44,12 @@ def _refine_kernel(ext_ref, patches_ref, mats_ref, out_ref):
         My = mats_ref[pl.ds(phi * n, n), :]         # (n, PATCH)
         Mx = mats_ref[pl.ds(pwi * n, n), :]
         patch = patches_ref[j]                       # (PATCH, PATCH)
+        # HIGHEST precision: fp32-exact MXU passes (cv2-bicubic parity)
         up = jnp.dot(
-            jnp.dot(My, patch, preferred_element_type=jnp.float32),
-            Mx.T, preferred_element_type=jnp.float32)   # (n, n)
+            jnp.dot(My, patch, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32),
+            Mx.T, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)   # (n, n)
 
         valid = (iy < (phi + 3) * f) & (ix < (pwi + 3) * f)
         masked = jnp.where(valid, up, -jnp.inf)

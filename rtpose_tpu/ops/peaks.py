@@ -140,7 +140,11 @@ def _refine(heat_part: jax.Array, py: jax.Array, px: jax.Array,
     mats = jnp.asarray(_interp_matrices(factor))   # (3, P*f, P)
     My = mats[ph - 3]                              # (P*f, P)
     Mx = mats[pw - 3]
-    up = My @ patch @ Mx.T                         # (P*f, P*f)
+    # Precision.HIGHEST: the TPU default would run these fp32 matmuls as a
+    # single bf16 MXU pass, breaking cv2-bicubic parity by ~1e-3
+    up = jnp.matmul(jnp.matmul(My, patch,
+                               precision=jax.lax.Precision.HIGHEST),
+                    Mx.T, precision=jax.lax.Precision.HIGHEST)
 
     n = _PATCH * factor
     iy = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
