@@ -48,13 +48,15 @@ def compute_oks(dt_kps: np.ndarray, gt_kps: np.ndarray, gt_area: float,
         dx = xd - xg
         dy = yd - yg
     else:
-        # no labeled keypoints: measure distance to an expanded bbox
+        # no labeled keypoints: measure distance to the bbox expanded by
+        # one width/height each side — pycocotools computeOks uses
+        # [x-w, x+2w] x [y-h, y+2h]
         if gt_bbox is None:
             return 0.0
         x0, y0, w, h = gt_bbox
         z = np.zeros(len(sigmas))
-        dx = np.maximum(z, x0 - 2 * w - xd) + np.maximum(z, xd - x0 - 3 * w)
-        dy = np.maximum(z, y0 - 2 * h - yd) + np.maximum(z, yd - y0 - 3 * h)
+        dx = np.maximum(z, (x0 - w) - xd) + np.maximum(z, xd - (x0 + 2 * w))
+        dy = np.maximum(z, (y0 - h) - yd) + np.maximum(z, yd - (y0 + 2 * h))
         vis = np.ones(len(sigmas), bool)
     e = (dx ** 2 + dy ** 2) / vars_ / (gt_area + np.spacing(1)) / 2.0
     return float(np.mean(np.exp(-e[vis])))

@@ -198,7 +198,10 @@ class PosePipeline:
         ims, metas = zip(*(self._prep(im) for im in images_bgr))
         shapes = {im.shape for im in ims}
         if len(shapes) != 1:
-            return [self.run(im)[0] for im in images_bgr], list(metas)
+            # mixed padded shapes (e.g. cv2.resize rounding split a bucket):
+            # fall back to per-image runs, whose metas carry 'upsampled'
+            results = [self.run(im) for im in images_bgr]
+            return [r[0] for r in results], [r[3] for r in results]
         batch = jnp.asarray(np.stack(ims))
         if not hasattr(self, "_infer_batch"):
             single = make_infer_fn(

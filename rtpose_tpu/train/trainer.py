@@ -98,14 +98,19 @@ def make_train_step(model, tx, cfg: Config):
         grads = jax.tree_util.tree_map(lambda g, m: g * m, grads,
                                        state.grad_mask)
         # failure guard: a non-finite loss (bad batch, overflow) skips the
-        # update instead of corrupting params/momentum — the reference has
+        # whole update — params, momentum, and accumulator state all keep
+        # their previous values (not just zeroed grads, which would still
+        # let SGD momentum move params by lr*mu*trace) — the reference has
         # no failure handling at all (SURVEY.md §5)
         finite = jnp.isfinite(loss)
-        grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates, opt_state_new = tx.update(grads, state.opt_state,
+                                           state.params)
         updates = jax.tree_util.tree_map(lambda u: u * state.lr, updates)
-        params = optax.apply_updates(state.params, updates)
+        params_new = optax.apply_updates(state.params, updates)
+        select = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
+            lambda n, o: jnp.where(finite, n, o), new, old)
+        params = select(params_new, state.params)
+        opt_state = select(opt_state_new, state.opt_state)
         logs["loss"] = loss
         logs["skipped_nonfinite"] = (~finite).astype(jnp.float32)
         return state.replace(step=state.step + 1, params=params,

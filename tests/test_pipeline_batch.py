@@ -24,6 +24,26 @@ def test_run_batch_matches_single():
         assert len(single) == len(people)
 
 
+def test_run_batch_mixed_shapes_fallback():
+    """Round-1 regression: the mixed-shape fallback returned metas without
+    'upsampled', crashing evalx/harness at meta['upsampled']."""
+    model = get_model("vgg19", num_stages=1, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    pipe = PosePipeline(model, params, input_size=56, flip=False)
+    rng = np.random.RandomState(1)
+    frames = [(rng.rand(80, 60, 3) * 255).astype(np.uint8),
+              (rng.rand(96, 60, 3) * 255).astype(np.uint8)]   # mixed pad
+    people_lists, metas = pipe.run_batch(frames)
+    assert len(people_lists) == 2 and len(metas) == 2
+    padded = {m["padded_shape"][:2] for m in metas}
+    assert len(padded) == 2, "frames should hit the mixed-shape fallback"
+    for frame, people, meta in zip(frames, people_lists, metas):
+        assert "upsampled" in meta and "scale" in meta
+        single, _, _, smeta = pipe.run(frame)
+        assert meta["upsampled"] == smeta["upsampled"]
+        assert len(people) == len(single)
+
+
 def test_grad_accum_equals_big_batch():
     """k accumulation steps of batch b ~ one step of batch k*b (same mean
     gradient for MSE since per-microbatch grads are averaged)."""

@@ -76,6 +76,43 @@ def test_freeze_mask_blocks_backbone_updates():
                               root2["backbone"]["conv1_1"]["kernel"])
 
 
+def test_nonfinite_batch_skips_whole_update():
+    """A NaN batch must leave params AND optimizer state (momentum)
+    untouched — not just zero the grads, which would still move params by
+    lr*mu*trace under nesterov momentum (round-1 advisor finding)."""
+    cfg = _tiny_cfg()
+    cfg.train.freeze_base_epochs = 0
+    tr = Trainer(cfg)
+    rng = np.random.RandomState(4)
+    good = _fake_batch(rng)
+    mask = np.ones((8, 8, 8, 1), np.float32)
+    # one good step to build nonzero momentum
+    tr.state, logs = tr.train_step(tr.state, jnp.asarray(good["image"]),
+                                   jnp.asarray(good["keypoints"]),
+                                   jnp.asarray(mask))
+    assert float(logs["skipped_nonfinite"]) == 0.0
+    p1 = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    o1 = jax.tree_util.tree_map(np.asarray, tr.state.opt_state)
+    bad = np.full_like(good["image"], np.nan)
+    tr.state, logs = tr.train_step(tr.state, jnp.asarray(bad),
+                                   jnp.asarray(good["keypoints"]),
+                                   jnp.asarray(mask))
+    assert float(logs["skipped_nonfinite"]) == 1.0
+    p2 = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    o2 = jax.tree_util.tree_map(np.asarray, tr.state.opt_state)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree_util.tree_leaves(o1),
+                    jax.tree_util.tree_leaves(o2)):
+        np.testing.assert_array_equal(a, b)
+    # and training still proceeds after the skip
+    tr.state, logs = tr.train_step(tr.state, jnp.asarray(good["image"]),
+                                   jnp.asarray(good["keypoints"]),
+                                   jnp.asarray(mask))
+    assert np.isfinite(float(logs["loss"]))
+
+
 def test_plateau_schedule():
     s = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=2, cooldown=1)
     assert s.step(1.0) == 1.0           # improves (best=1.0)
