@@ -125,9 +125,10 @@ def _evaluate_image(gts: List[dict], dts: List[dict],
             dt_m[ti, di] = gts[best_gi]["id"]
             gt_m[ti, best_gi] = dts[di]["id"]
 
-    # unmatched dts whose area is out of range are ignored
-    dt_areas = np.array([
-        d.get("area", _kp_area(d)) for d in dts])
+    # unmatched dts whose area is out of range are ignored; the detection
+    # area is ALWAYS the keypoint bbox extent (pycocotools loadRes
+    # overwrites any provided area for keypoint results)
+    dt_areas = np.array([_kp_area(d) for d in dts])
     out_of_range = (dt_areas < area_rng[0]) | (dt_areas > area_rng[1])
     dt_ig = dt_ig | ((dt_m == 0) & out_of_range[None, :])
 
@@ -149,17 +150,19 @@ def _accumulate(evals: List[Optional[_ImgEval]]) -> Dict[str, float]:
     T = len(OKS_THRESHOLDS)
     R = len(RECALL_THRESHOLDS)
     evals = [e for e in evals if e is not None]
+    # -1 is the protocol's "undefined" sentinel (no valid gts in range);
+    # it must survive into the derived per-threshold stats too
+    undefined = {"AP": -1.0, "AR": -1.0, "precision": -np.ones((T, R)),
+                 "recall": -np.ones(T)}
     if not evals:
-        return {"AP": -1.0, "AR": -1.0, "precision": np.zeros((T, R)),
-                "recall": np.zeros(T)}
+        return undefined
     scores = np.concatenate([e.dt_scores for e in evals])
     order = np.argsort(-scores, kind="stable")
     dtm = np.concatenate([e.dt_matches for e in evals], axis=1)[:, order]
     dtig = np.concatenate([e.dt_ignore for e in evals], axis=1)[:, order]
     n_gt = sum(int((~e.gt_ignore).sum()) for e in evals)
     if n_gt == 0:
-        return {"AP": -1.0, "AR": -1.0, "precision": np.zeros((T, R)),
-                "recall": np.zeros(T)}
+        return undefined
 
     tps = (dtm > 0) & ~dtig
     fps = (dtm == 0) & ~dtig

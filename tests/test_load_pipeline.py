@@ -7,6 +7,43 @@ import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
+def test_load_pipeline_from_reference_torch_ckpt(tmp_path):
+    """Full-scale (6-stage) weight import from a lightning-prefixed .ckpt
+    FILE with the reference's exact key layout (model.model0.0.weight, ...,
+    model.model6_2.12.bias — rtpose_vgg.py state_dict + evaluation.py:15-18
+    prefix), through the public load_pipeline path, with numeric parity of
+    the served heatmaps vs the torch twin.  With this, the only unverified
+    link to mAP 0.653 is the trained weight values themselves (no COCO data
+    or pose_model.pth in this environment)."""
+    torch = pytest.importorskip("torch")
+    from test_vgg19_model import _build_torch_twin
+    from rtpose_tpu.infer.pipeline import load_pipeline
+    from rtpose_tpu.infer.preprocess import crop_with_factor, vgg_preprocess
+
+    twin = _build_torch_twin().eval()
+    sd = {"model." + k: v for k, v in twin.state_dict().items()}
+    keys = set(sd)
+    assert "model.model0.0.weight" in keys          # reference layout
+    assert "model.model6_2.12.bias" in keys
+    ckpt_path = tmp_path / "_ckpt_epoch_82.ckpt"
+    torch.save({"state_dict": sd, "epoch": 82}, str(ckpt_path))
+
+    pipe = load_pipeline(torch_weights=str(ckpt_path), num_stages=6,
+                         input_size=64, flip=False, dtype=jnp.float32)
+    img = (np.random.RandomState(0).rand(80, 60, 3) * 255).astype(np.uint8)
+    _people, heat, paf, meta = pipe.run(img)
+
+    padded, _scale, _real = crop_with_factor(img, 64, factor=8)
+    x = vgg_preprocess(padded)[None].transpose(0, 3, 1, 2)
+    with torch.no_grad():
+        tpaf, theat = twin(torch.from_numpy(np.ascontiguousarray(x)))
+    np.testing.assert_allclose(heat, theat.numpy()[0].transpose(1, 2, 0),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(paf, tpaf.numpy()[0].transpose(1, 2, 0),
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_load_pipeline_from_checkpoint(tmp_path):
     from rtpose_tpu.config import Config
     from rtpose_tpu.infer.pipeline import load_pipeline
