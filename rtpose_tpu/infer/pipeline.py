@@ -54,7 +54,8 @@ def average_flip(heat: jax.Array, heat_flipped: jax.Array,
 def make_infer_fn(model, *, preprocess_mode: str = "vgg",
                   thresh_heatmap: float = 0.1, max_peaks: int = 32,
                   max_people: int = 64, downsample: int = 8,
-                  flip: bool = True, decode: bool = True):
+                  flip: bool = True, decode: bool = True,
+                  max_candidates: int = 256, max_total_conns: int = 160):
     """Build the jitted uint8-image->People function.
 
     Returned fn: (params, image_hwc_uint8) -> (People | None, heat, paf).
@@ -82,7 +83,8 @@ def make_infer_fn(model, *, preprocess_mode: str = "vgg",
             people = decode_poses.__wrapped__(
                 heat_avg, paf_avg, factor=downsample,
                 thresh_heatmap=thresh_heatmap, max_peaks=max_peaks,
-                max_people=max_people)
+                max_people=max_people, max_candidates=max_candidates,
+                max_total_conns=max_total_conns)
         return people, heat_avg, paf_avg
 
     return infer
@@ -146,7 +148,8 @@ class PosePipeline:
     def __init__(self, model, params, *, input_size: int = 368,
                  downsample: int = 8, preprocess_mode: str = "vgg",
                  flip: bool = True, thresh_heatmap: float = 0.1,
-                 max_peaks: int = 32, max_people: int = 64):
+                 max_peaks: int = 32, max_people: int = 64,
+                 max_candidates: int = 256, max_total_conns: int = 160):
         self.model = model
         self.params = params
         self.input_size = input_size
@@ -155,13 +158,17 @@ class PosePipeline:
         self.flip = flip
         kwargs = dict(preprocess_mode=preprocess_mode,
                       thresh_heatmap=thresh_heatmap, max_peaks=max_peaks,
-                      max_people=max_people, downsample=downsample)
+                      max_people=max_people, downsample=downsample,
+                      max_candidates=max_candidates,
+                      max_total_conns=max_total_conns)
+        self._infer_kwargs = kwargs
         self._infer = make_infer_fn(model, flip=flip, **kwargs)
         self._infer_maps = make_infer_fn(model, flip=flip, decode=False,
                                          **kwargs)
         self._decode_only = functools.partial(
             decode_poses, factor=downsample, thresh_heatmap=thresh_heatmap,
-            max_peaks=max_peaks, max_people=max_people)
+            max_peaks=max_peaks, max_people=max_people,
+            max_candidates=max_candidates, max_total_conns=max_total_conns)
 
     def __call__(self, image_bgr: np.ndarray) -> List[Dict[str, Any]]:
         people, _, _, _meta = self.run(image_bgr)
@@ -188,6 +195,7 @@ class PosePipeline:
         w_up = heat.shape[1] * self.downsample
         people = people_to_numpy(people_dev, w_up, h_up)
         meta["upsampled"] = (h_up, w_up)
+        meta["truncated"] = bool(np.asarray(people_dev.truncated))
         return people, np.asarray(heat), np.asarray(paf), meta
 
     def run_batch(self, images_bgr):
@@ -204,10 +212,8 @@ class PosePipeline:
             return [r[0] for r in results], [r[3] for r in results]
         batch = jnp.asarray(np.stack(ims))
         if not hasattr(self, "_infer_batch"):
-            single = make_infer_fn(
-                self.model, flip=self.flip,
-                preprocess_mode=self.preprocess_mode,
-                downsample=self.downsample)
+            single = make_infer_fn(self.model, flip=self.flip,
+                                   **self._infer_kwargs)
             self._infer_batch = jax.jit(
                 lambda p, b: jax.vmap(
                     lambda im: single.__wrapped__(p, im))(b))
@@ -217,10 +223,12 @@ class PosePipeline:
         out = []
         for i, meta in enumerate(metas):
             meta["upsampled"] = (h_up, w_up)
+            meta["truncated"] = bool(np.asarray(people_dev.truncated[i]))
             sub = People(
                 coords=people_dev.coords[i],
                 part_score=people_dev.part_score[i],
-                score=people_dev.score[i], valid=people_dev.valid[i])
+                score=people_dev.score[i], valid=people_dev.valid[i],
+                truncated=people_dev.truncated[i])
             out.append(people_to_numpy(sub, w_up, h_up))
         return out, list(metas)
 

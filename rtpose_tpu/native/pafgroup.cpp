@@ -109,9 +109,14 @@ int pafgroup_process(PafGroupContext* ctx, const float* peaks_in, int n_peaks,
         const float ux = dx / norm, uy = dy / norm;
         float sum = 0.0f;
         int cnt = 0;
+        // precomputed step, then i * step: matches the reference
+        // get_paf_vectors exactly (pafprocess.cpp:223-229) so 1-ulp
+        // rounding cannot flip a sample cell vs the other backends
+        const float step_x = dx / kStepPaf;
+        const float step_y = dy / kStepPaf;
         for (int s = 0; s < kStepPaf; ++s) {
-          const int lx = static_cast<int>(pa.x + s * dx / kStepPaf + 0.5f);
-          const int ly = static_cast<int>(pa.y + s * dy / kStepPaf + 0.5f);
+          const int lx = static_cast<int>(pa.x + s * step_x + 0.5f);
+          const int ly = static_cast<int>(pa.y + s * step_y + 0.5f);
           const float sc = ux * paf_at(ly, lx, ch_x) + uy * paf_at(ly, lx, ch_y);
           sum += sc;
           if (sc > kThreshVectorScore) ++cnt;
@@ -158,7 +163,7 @@ int pafgroup_process(PafGroupContext* ctx, const float* peaks_in, int n_peaks,
           row[19] += 1;
           row[18] += ctx->peaks[static_cast<int>(cid2)].score + score;
         }
-      } else if (found >= 2) {
+      } else if (found == 2) {
         auto& r1 = subset[s1];
         auto& r2 = subset[s2];
         bool membership = false;

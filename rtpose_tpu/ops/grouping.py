@@ -50,16 +50,22 @@ class People:
     part_score: (P, 18) float32 peak scores (0 if missing)
     score: (P,) float32 person score (score-sum / part-count)
     valid: (P,) bool
+    truncated: bool scalar — True when ANY fixed-shape cap overflowed
+    (max_peaks / max_candidates / max_total_conns / max_people); the
+    result may then differ from the unbounded reference (pafprocess.cpp
+    keeps dynamic lists).  Raise the cap at the call site and re-run.
     """
     coords: jax.Array
     part_score: jax.Array
     score: jax.Array
     valid: jax.Array
+    truncated: jax.Array
 
 
 jax.tree_util.register_pytree_node(
     People,
-    lambda p: ((p.coords, p.part_score, p.score, p.valid), None),
+    lambda p: ((p.coords, p.part_score, p.score, p.valid, p.truncated),
+               None),
     lambda _, c: People(*c),
 )
 
@@ -81,6 +87,9 @@ def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
     One-hot x value products are exact in fp32 (weights are 0/1), so both
     paths are bit-identical.
     """
+    if sampling not in ("onehot", "gather"):
+        raise ValueError(f"sampling must be 'onehot' or 'gather', "
+                         f"got {sampling!r}")
     h, w, _ = paf.shape
     h_up = h * factor
     K = peaks.x.shape[1]
@@ -100,10 +109,12 @@ def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
     uy = jnp.where(nz, dy / jnp.maximum(norm, 1e-12), 0.0)
 
     s = jnp.arange(STEP_PAF, dtype=jnp.float32)    # (10,)
-    # integer sample coords: int(ax + s*dx/10 + 0.5), truncation like C++
-    lx = (ax[:, :, None, None] + s * dx[..., None] / STEP_PAF + 0.5
+    # integer sample coords: int(ax + s*(dx/10) + 0.5), truncation like C++
+    # — step precomputed first, the reference's exact expression
+    # (pafprocess.cpp:223-229), so 1-ulp rounding matches the host backends
+    lx = (ax[:, :, None, None] + s * (dx[..., None] / STEP_PAF) + 0.5
           ).astype(jnp.int32)                      # (19, Ka, Kb, 10)
-    ly = (ay[:, :, None, None] + s * dy[..., None] / STEP_PAF + 0.5
+    ly = (ay[:, :, None, None] + s * (dy[..., None] / STEP_PAF) + 0.5
           ).astype(jnp.int32)
     # nearest-upsample sampling == low-res index division
     gx = jnp.clip(lx // factor, 0, w - 1)
@@ -152,12 +163,15 @@ def greedy_connections(scores: jax.Array, valid: jax.Array,
     """Greedy 1-1 assignment per pair over score-sorted candidates.
 
     Returns per-pair connection slots (pair-major acceptance order):
-    (conn_ia, conn_ib, conn_score, conn_valid), each (19, K).
+    (conn_ia, conn_ib, conn_score, conn_valid), each (19, K), plus a
+    scalar bool `overflow` (a pair had more valid candidates than the
+    top-k window, so a low-scoring candidate was never considered).
     """
     P, Ka, Kb = scores.shape
     K = Ka
     flat_scores = jnp.where(valid, scores, -jnp.inf).reshape(P, Ka * Kb)
     C = min(max_conns, Ka * Kb)
+    overflow = jnp.any(jnp.sum(valid.reshape(P, -1), axis=-1) > C)
     top_scores, top_idx = jax.lax.top_k(flat_scores, C)   # (19, C) desc
     top_ia = top_idx // Kb
     top_ib = top_idx % Kb
@@ -193,13 +207,14 @@ def greedy_connections(scores: jax.Array, valid: jax.Array,
         jnp.where(acc, top_scores, 0.0))
     conn_valid = conn_valid.at[rows, slots].set(acc)
     return (conn_ia[:, :K], conn_ib[:, :K], conn_score[:, :K],
-            conn_valid[:, :K])
+            conn_valid[:, :K], overflow)
 
 
 def assemble_people(conn_ia, conn_ib, conn_score, conn_valid,
                     peaks: Peaks, *, max_people: int = 64,
                     min_part_cnt: int = 4, min_human_score: float = 0.3,
-                    max_total_conns: int = 160) -> People:
+                    max_total_conns: int = 160,
+                    extra_truncated=False) -> People:
     """Sequential person assembly (reference pafprocess.cpp:127-191).
 
     Consumes connections in (pair, acceptance-slot) order through one
@@ -224,6 +239,7 @@ def assemble_people(conn_ia, conn_ib, conn_score, conn_valid,
     # Compact (19, K) conns -> length-M list preserving order.
     M = min(max_total_conns, NUM_GROUP_PAIRS * K)
     flat_valid = conn_valid.reshape(-1)
+    conn_overflow = jnp.sum(flat_valid) > M
     pos = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
     pos = jnp.where(flat_valid & (pos < M), pos, M)  # M = dropped
 
@@ -244,7 +260,7 @@ def assemble_people(conn_ia, conn_ib, conn_score, conn_valid,
     subset0 = subset0.at[:, 19].set(0.0)   # count 0 == dead row
 
     def step(state, inp):
-        subset, next_slot = state
+        subset, next_slot, dropped = state
         pair, k1, k2, s1p, s2p, cscore, cvalid = inp
         p1 = part_a[jnp.minimum(pair, NUM_GROUP_PAIRS - 1)]
         p2 = part_b[jnp.minimum(pair, NUM_GROUP_PAIRS - 1)]
@@ -266,8 +282,10 @@ def assemble_people(conn_ia, conn_ib, conn_score, conn_valid,
         can_new = next_slot < Pp
         b_new = cvalid & (found == 0) & is_seed & can_new
         b_ext1 = cvalid & (found == 1)
-        b_ext2 = cvalid & (found >= 2) & membership
-        b_merge = cvalid & (found >= 2) & ~membership
+        # exactly two (reference pafprocess.cpp:161 'else if (found == 2)');
+        # a connection matching 3+ subset rows is dropped entirely
+        b_ext2 = cvalid & (found == 2) & membership
+        b_merge = cvalid & (found == 2) & ~membership
 
         # --- new row
         new_row = jnp.full((20,), -1.0).at[p1].set(k1).at[p2].set(k2)
@@ -278,7 +296,7 @@ def assemble_people(conn_ia, conn_ib, conn_score, conn_valid,
             subset)
 
         # --- extend row s1 (guarded when found==1; unconditional when
-        # found>=2 with membership, matching pafprocess.cpp:146-151,168-172)
+        # found==2 with membership, matching pafprocess.cpp:146-151,168-172)
         do_set = b_ext2 | (b_ext1 & (r1[p2] != k2))
         ext_row = r1.at[p2].set(k2)
         ext_row = ext_row.at[19].add(1.0).at[18].add(s2p + cscore)
@@ -295,10 +313,13 @@ def assemble_people(conn_ia, conn_ib, conn_score, conn_valid,
             jnp.where(b_merge, dead, subset_mrg[s2]))
 
         next_slot = next_slot + b_new.astype(jnp.int32)
-        return (subset_mrg, next_slot), None
+        # a seed connection that needed a new person but found no free row
+        dropped = dropped | (cvalid & (found == 0) & is_seed & ~can_new)
+        return (subset_mrg, next_slot, dropped), None
 
     inputs = (c_pair, c_cid1, c_cid2, c_ps1, c_ps2, c_score, c_valid)
-    (subset, _), _ = jax.lax.scan(step, (subset0, jnp.int32(0)), inputs)
+    (subset, _, people_overflow), _ = jax.lax.scan(
+        step, (subset0, jnp.int32(0), jnp.asarray(False)), inputs)
 
     count = subset[:, 19]
     ssum = subset[:, 18]
@@ -312,21 +333,31 @@ def assemble_people(conn_ia, conn_ib, conn_score, conn_valid,
         jnp.where(has, x_flat[flat_cid], -1),
         jnp.where(has, y_flat[flat_cid], -1)], axis=-1).astype(jnp.int32)
     part_score = jnp.where(has, score_flat[flat_cid], 0.0)
+    truncated = (jnp.asarray(extra_truncated) | peaks.truncated
+                 | conn_overflow | people_overflow)
     return People(coords=coords, part_score=part_score,
                   score=ssum / jnp.maximum(count, 1.0),
-                  valid=person_valid)
+                  valid=person_valid, truncated=truncated)
 
 
 def group_peaks_device(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
                        thresh_vector_cnt: int = 6, max_people: int = 64,
                        min_part_cnt: int = 4, min_human_score: float = 0.3,
                        max_candidates: int = 256,
-                       max_total_conns: int = 160) -> People:
-    """peaks + low-res PAF -> fixed-shape people."""
+                       max_total_conns: int = 160,
+                       sampling: str = "onehot") -> People:
+    """peaks + low-res PAF -> fixed-shape people.
+
+    sampling='gather' is bit-identical but cheaper at large K on CPU
+    (the one-hot contraction trades memory for TPU-friendly matmuls).
+    """
     scores, valid = score_connections(peaks, paf, factor=factor,
-                                      thresh_vector_cnt=thresh_vector_cnt)
-    conns = greedy_connections(scores, valid, max_conns=max_candidates)
+                                      thresh_vector_cnt=thresh_vector_cnt,
+                                      sampling=sampling)
+    *conns, cand_overflow = greedy_connections(scores, valid,
+                                               max_conns=max_candidates)
     return assemble_people(*conns, peaks, max_people=max_people,
                            min_part_cnt=min_part_cnt,
                            min_human_score=min_human_score,
-                           max_total_conns=max_total_conns)
+                           max_total_conns=max_total_conns,
+                           extra_truncated=cand_overflow)

@@ -183,9 +183,13 @@ def group_peaks(joint_list: np.ndarray, heat_up_shape: Tuple[int, int],
                 # (reference pafprocess.cpp:220-241).
                 scores = f32(0.0)
                 crit1 = 0
+                # precomputed step, then s * step — the reference's exact
+                # expression (pafprocess.cpp:223-229), not (s*dx)/10
+                step_x = f32(dx / STEP_PAF)
+                step_y = f32(dy / STEP_PAF)
                 for s in range(STEP_PAF):
-                    lx = int(peak_x[ca] + f32(s * dx / STEP_PAF) + 0.5)
-                    ly = int(peak_y[ca] + f32(s * dy / STEP_PAF) + 0.5)
+                    lx = int(peak_x[ca] + f32(s) * step_x + 0.5)
+                    ly = int(peak_y[ca] + f32(s) * step_y + 0.5)
                     sc = f32(ux * paf_up[ly, lx, ch_x]
                              + uy * paf_up[ly, lx, ch_y])
                     scores = f32(scores + sc)
@@ -225,7 +229,9 @@ def group_peaks(joint_list: np.ndarray, heat_up_shape: Tuple[int, int],
                     row[part2] = cid2
                     row[19] += 1
                     row[18] += peak_score[int(cid2)] + score
-            elif found >= 2:
+            elif found == 2:
+                # exactly two (reference pafprocess.cpp:161 'else if
+                # (found == 2)'): a connection matching 3+ rows is dropped
                 s1, s2 = found_rows[0], found_rows[1]
                 r1, r2 = subset[s1], subset[s2]
                 # NOTE '> 0' (not >= 0): C++ quirk kept for parity — a joint

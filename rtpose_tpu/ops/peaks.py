@@ -37,18 +37,23 @@ _PATCH = 2 * _WIN + 1
 
 @dataclasses.dataclass
 class Peaks:
-    """Fixed-shape per-part peak set.  All arrays (num_parts, K)."""
+    """Fixed-shape per-part peak set.  All arrays (num_parts, K) except
+    `truncated`, a scalar bool: True when some part had more above-threshold
+    local maxima than K (the fixed cap silently dropped peaks — raise
+    max_peaks and re-run; the reference keeps unbounded per-part lists,
+    lib/pafprocess/pafprocess.cpp:24-43)."""
     x: jax.Array        # int32, upsampled-frame column (truncated)
     y: jax.Array        # int32, upsampled-frame row (truncated)
     xf: jax.Array       # float32 refined column (pre-truncation)
     yf: jax.Array       # float32 refined row
     score: jax.Array    # float32 refined peak score
     valid: jax.Array    # bool
+    truncated: jax.Array  # bool scalar
 
 
 jax.tree_util.register_pytree_node(
     Peaks,
-    lambda p: ((p.x, p.y, p.xf, p.yf, p.score, p.valid), None),
+    lambda p: ((p.x, p.y, p.xf, p.yf, p.score, p.valid, p.truncated), None),
     lambda _, c: Peaks(*c),
 )
 
@@ -216,6 +221,9 @@ def nms(heatmaps: jax.Array, *, factor: int = 8, thresh: float = 0.1,
     heat = jnp.moveaxis(heatmaps[..., :NUM_PARTS], -1, 0)  # (parts, H, W)
     H, W = heat.shape[-2:]
     mask = find_peak_mask(heat, thresh)
+    # truncation signal: a part with more local maxima than K loses peaks
+    n_found = jnp.sum(mask.reshape(NUM_PARTS, -1), axis=-1)
+    truncated = jnp.any(n_found > max_peaks)
     masked = jnp.where(mask, heat, -jnp.inf)
     flat = masked.reshape(NUM_PARTS, H * W)
     scores0, idx = jax.lax.top_k(flat, max_peaks)      # (parts, K)
@@ -239,4 +247,5 @@ def nms(heatmaps: jax.Array, *, factor: int = 8, thresh: float = 0.1,
     yf = jnp.where(valid, yf, 0.0)
     score = jnp.where(valid, score, 0.0)
     return Peaks(x=xf.astype(jnp.int32), y=yf.astype(jnp.int32),
-                 xf=xf, yf=yf, score=score, valid=valid)
+                 xf=xf, yf=yf, score=score, valid=valid,
+                 truncated=truncated)

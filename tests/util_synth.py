@@ -77,6 +77,25 @@ def render_maps(people, h, w, sigma=1.5, limb_width=1.0):
     return heat, paf
 
 
+def grid_people(n_rows, n_cols, h, w, rng, margin=2.0):
+    """Well-separated people on a grid (for crowded-scene cap tests)."""
+    people = np.zeros((n_rows * n_cols, NUM_PARTS, 2))
+    cell_h = (h - 2 * margin) / n_rows
+    cell_w = (w - 2 * margin) / n_cols
+    s = 0.9 * min(cell_h, cell_w)
+    i = 0
+    for r in range(n_rows):
+        for c in range(n_cols):
+            cx = margin + (c + 0.5) * cell_w
+            cy = margin + (r + 0.5) * cell_h
+            for part, (tx, ty) in _TEMPLATE.items():
+                jitter = rng.normal(0, 0.005 * s, 2)
+                people[i, part] = (cx + (tx - 0.5) * s + jitter[0],
+                                   cy + (ty - 0.5) * s + jitter[1])
+            i += 1
+    return people
+
+
 def synth_example(seed=0, n_people=3, h=46, w=46):
     rng = np.random.RandomState(seed)
     people = random_people(rng, n_people, h, w)
