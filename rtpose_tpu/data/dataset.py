@@ -98,10 +98,14 @@ class CocoKeypoints:
         with open(path, "rb") as f:
             image = PIL.Image.open(f).convert("RGB")
         anns = self.coco.annotations(img_id, self.person_cats)
-        labeled = [a for a in anns
-                   if not a.get("iscrowd", 0)
-                   and any(v > 0 for v in (a.get("keypoints") or [])[2::3])]
-        unlabeled = [a for a in anns if a not in labeled]
+        # classify by index: dict-value membership is O(n^2) and misgroups
+        # duplicate annotations
+        is_labeled = [
+            not a.get("iscrowd", 0)
+            and any(v > 0 for v in (a.get("keypoints") or [])[2::3])
+            for a in anns]
+        labeled = [a for a, lab in zip(anns, is_labeled) if lab]
+        unlabeled = [a for a, lab in zip(anns, is_labeled) if not lab]
         kp17 = np.array([np.asarray(a["keypoints"], float).reshape(17, 3)
                          for a in labeled]) if labeled \
             else np.zeros((0, 17, 3))
@@ -262,18 +266,24 @@ class Loader:
             return False
 
         def worker(worker_id: int):
-            wrng = np.random.Generator(
-                np.random.Philox([self.seed, self.epoch, worker_id]))
-            for bi in range(worker_id, len(batches), self.num_workers):
-                if stop.is_set():
-                    return
-                samples = [self.dataset.get(int(i), wrng)
-                           for i in batches[bi]]
-                batch = {k: np.stack([s[k] for s in samples])
-                         for k in samples[0]}
-                if not _put((bi, batch)):
-                    return
-            _put((None, None))
+            # any failure must reach the main thread: a dead worker that
+            # never posts its sentinel would block the iterator forever
+            try:
+                wrng = np.random.Generator(
+                    np.random.Philox([self.seed, self.epoch, worker_id]))
+                for bi in range(worker_id, len(batches), self.num_workers):
+                    if stop.is_set():
+                        return
+                    samples = [self.dataset.get(int(i), wrng)
+                               for i in batches[bi]]
+                    batch = {k: np.stack([s[k] for s in samples])
+                             for k in samples[0]}
+                    if not _put((bi, batch)):
+                        return
+            except BaseException as e:  # noqa: BLE001 - re-raised in main
+                _put(("error", e))
+            finally:
+                _put((None, None))
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(self.num_workers)]
@@ -292,6 +302,8 @@ class Loader:
                 if bi is None:
                     finished += 1
                     continue
+                if bi == "error":
+                    raise batch
                 pending[bi] = batch
         finally:
             stop.set()

@@ -239,13 +239,34 @@ class RandomRotate(Transform):
         return sample
 
 
-class ColorJitter(Transform):
-    """Brightness/contrast/saturation jitter (photometric analogue of
-    reference transforms.py:53-65; hue jitter omitted — negligible at 0.1
-    and costly in numpy)."""
+def adjust_hue(img: PIL.Image.Image, hue_factor: float) -> PIL.Image.Image:
+    """Shift hue by `hue_factor` of the color circle (in [-0.5, 0.5]).
 
-    def __init__(self, strength: float = 0.1):
+    Replicates torchvision's PIL path: HSV split, uint8 H channel shifted
+    with wraparound, merge back (the formula behind the reference's
+    ColorJitter hue=0.1, transforms.py:53-58).
+    """
+    if not -0.5 <= hue_factor <= 0.5:
+        raise ValueError(f"hue_factor {hue_factor} not in [-0.5, 0.5]")
+    h, s, v = img.convert("HSV").split()
+    np_h = np.asarray(h, dtype=np.int16)
+    # torchvision does uint8 += uint8(hue_factor*255): C-cast truncation
+    # toward zero plus mod-256 wraparound on the hue circle
+    shift = int(hue_factor * 255) % 256
+    np_h = ((np_h + shift) % 256).astype(np.uint8)
+    h = PIL.Image.fromarray(np_h, "L")
+    return PIL.Image.merge("HSV", (h, s, v)).convert("RGB")
+
+
+class ColorJitter(Transform):
+    """Brightness/contrast/saturation/hue jitter (photometric analogue of
+    reference transforms.py:53-65, all four components at strength 0.1).
+    Applied in fixed order (torchvision shuffles the order per call — a
+    distribution-level, not value-level, difference)."""
+
+    def __init__(self, strength: float = 0.1, hue: float = 0.1):
         self.strength = strength
+        self.hue = hue
 
     def __call__(self, sample, rng):
         from PIL import ImageEnhance
@@ -255,6 +276,8 @@ class ColorJitter(Transform):
                          ImageEnhance.Color):
             f = 1.0 + (rng.random() * 2 - 1) * self.strength
             img = enhancer(img).enhance(f)
+        if self.hue:
+            img = adjust_hue(img, (rng.random() * 2 - 1) * self.hue)
         sample.image = img
         return sample
 
@@ -312,6 +335,32 @@ class MultiScale(Transform):
 
     def __call__(self, sample, rng):
         return [p(copy.deepcopy(sample), rng) for p in self.pipelines]
+
+
+def keypoint_sets_inverse(keypoint_sets: np.ndarray, meta: dict
+                          ) -> np.ndarray:
+    """Map predicted keypoint sets back through the augmentation meta to
+    original-image coordinates (reference transforms.py:74-90).
+
+    keypoint_sets: (N, parts, 3) [x, y, v] in transformed-image coords.
+    meta: a Sample.meta produced by this module's transforms (offset/scale
+    accumulated by Crop/CenterPad/Rescale, hflip flag, original
+    width_height).  The formula assumes HFlip ran BEFORE the geometric
+    transforms, as in the reference training pipeline
+    (train_VGG19.py:124-130) and :func:`train_pipeline`; the swap tables
+    apply only to 17-keypoint COCO sets.
+    """
+    kps = np.array(keypoint_sets, float)
+    kps[:, :, 0] += meta["offset"][0]
+    kps[:, :, 1] += meta["offset"][1]
+    kps[:, :, 0] = (kps[:, :, 0] + 0.5) / meta["scale"][0] - 0.5
+    kps[:, :, 1] = (kps[:, :, 1] + 0.5) / meta["scale"][1] - 0.5
+    if meta.get("hflip"):
+        w = meta["width_height"][0]
+        kps[:, :, 0] = -kps[:, :, 0] - 1.0 + w
+        if kps.shape[1] == len(_SWAP17):
+            kps = kps[:, _SWAP17, :]
+    return kps
 
 
 # --- helpers ---------------------------------------------------------------

@@ -164,3 +164,32 @@ def inverse_vgg_preprocess(image_hwc: np.ndarray) -> np.ndarray:
 
 def inverse_rtpose_preprocess(image_hwc: np.ndarray) -> np.ndarray:
     return ((image_hwc + 0.5) * 256.0).astype(np.uint8)
+
+
+def inverse_inception_preprocess(image_hwc: np.ndarray) -> np.ndarray:
+    """(x + 1) * 128, RGB->BGR, uint8 (reference preprocessing.py:67-75)."""
+    img = (image_hwc.astype(np.float32) + 1.0) * 128.0
+    return img[:, :, ::-1].astype(np.uint8)
+
+
+def inverse_ssd_preprocess(image_hwc: np.ndarray) -> np.ndarray:
+    """Exact inverse of ssd_preprocess (the reference has no ssd inverse;
+    added to complete the mode table)."""
+    rgb = image_hwc[:, :, ::-1].astype(np.float32)
+    rgb = rgb + np.array([104.0, 117.0, 123.0], dtype=np.float32)
+    return rgb[:, :, ::-1]
+
+
+_INVERSES = {
+    "rtpose": inverse_rtpose_preprocess,
+    "vgg": inverse_vgg_preprocess,
+    "inception": inverse_inception_preprocess,
+    "ssd": inverse_ssd_preprocess,
+}
+
+
+def inverse_preprocess(image_hwc: np.ndarray, mode: str) -> np.ndarray:
+    """Dispatch the inverse of :func:`preprocess` by mode name."""
+    if mode not in _INVERSES:
+        raise ValueError(f"unknown normalization mode {mode}")
+    return _INVERSES[mode](image_hwc)

@@ -111,6 +111,27 @@ def test_loader_batches_deterministic(coco_dir):
     assert batches[0]["image"].shape[1:] == (64, 64, 3)
 
 
+def test_loader_propagates_worker_errors(coco_dir):
+    """A corrupt/missing sample must raise in the main thread, not hang the
+    iterator forever (round-1 advisor finding: a dead worker never posted
+    its sentinel)."""
+    img_dir, ann_file = coco_dir
+    ds = CocoKeypoints(image_dir=img_dir, ann_file=ann_file, input_size=64)
+    real_get = ds.get
+
+    def bad_get(index, rng):
+        if index == 1:
+            raise OSError("corrupt image")
+        return real_get(index, rng)
+
+    ds.get = bad_get
+    loader = Loader(ds, batch_size=2, num_workers=2, seed=1,
+                    drop_last=False)
+    with pytest.raises(OSError, match="corrupt image"):
+        for _ in loader:
+            pass
+
+
 def test_hflip_swaps_keypoints():
     img = PIL.Image.new("RGB", (100, 80))
     kp = np.zeros((1, 17, 3))
