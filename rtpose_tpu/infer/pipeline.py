@@ -232,29 +232,71 @@ class PosePipeline:
             out.append(people_to_numpy(sub, w_up, h_up))
         return out, list(metas)
 
-    def run_multiscale(self, image_bgr: np.ndarray,
-                       scales=(0.5, 1.0, 1.5, 2.0)):
-        """Multi-scale + flip TTA: average maps over scales at the base
-        scale's resolution, then decode once (reference's unused
-        multi-scale scaffolding, coco_eval.py:107)."""
-        import cv2
+    def _prep_scales(self, image_bgr, scales):
         base_im, meta = self._prep(image_bgr)
-        bh, bw = base_im.shape[0] // self.downsample, \
-            base_im.shape[1] // self.downsample
-        heat_sum = np.zeros((bh, bw, 19), np.float32)
-        paf_sum = np.zeros((bh, bw, 38), np.float32)
+        bh = base_im.shape[0] // self.downsample
+        bw = base_im.shape[1] // self.downsample
+        ims = []
         for s in scales:
-            size = max(self.downsample,
-                       int(round(self.input_size * s)))
+            size = max(self.downsample, int(round(self.input_size * s)))
             im, _, _ = crop_with_factor(image_bgr, size,
                                         factor=self.downsample)
-            _, heat, paf = self._infer_maps(self.params,
-                                            jnp.asarray(im.astype(np.uint8)))
-            heat = np.asarray(heat)
-            paf = np.asarray(paf)
-            heat_sum += cv2.resize(heat, (bw, bh),
+            ims.append(im.astype(np.uint8))
+        return ims, (bh, bw), meta
+
+    @functools.lru_cache(maxsize=8)
+    def _multiscale_fn(self, n_scales: int, base_hw: tuple):
+        """One jitted program: n_scales forwards (each with fused flip TTA)
+        -> in-graph bicubic resize to the base grid -> average -> decode.
+        Host does nothing but resize/pad the uint8 inputs."""
+        from ..ops.resize import resize_bicubic
+        infer_maps = self._infer_maps
+
+        @jax.jit
+        def run(params, *images_u8):
+            heats, pafs = [], []
+            for im in images_u8:
+                _, heat, paf = infer_maps.__wrapped__(params, im)
+                heats.append(resize_bicubic(heat, base_hw))
+                pafs.append(resize_bicubic(paf, base_hw))
+            heat_avg = sum(heats) / len(heats)
+            paf_avg = sum(pafs) / len(pafs)
+            people = self._decode_only.func.__wrapped__(
+                heat_avg, paf_avg, **self._decode_only.keywords)
+            return people, heat_avg, paf_avg
+
+        return run
+
+    def run_multiscale(self, image_bgr: np.ndarray,
+                       scales=(0.5, 1.0, 1.5, 2.0)):
+        """Multi-scale + flip TTA in ONE device dispatch: per-scale CNN
+        forwards, cv2-parity bicubic map resize to the base grid, averaging
+        and grouping all inside a single XLA program (the reference's
+        unused multi-scale scaffolding, coco_eval.py:107; round 1 averaged
+        on host with cv2)."""
+        ims, (bh, bw), meta = self._prep_scales(image_bgr, scales)
+        fn = self._multiscale_fn(len(scales), (bh, bw))
+        people_dev, heat_avg, paf_avg = fn(
+            self.params, *(jnp.asarray(im) for im in ims))
+        h_up, w_up = bh * self.downsample, bw * self.downsample
+        meta["upsampled"] = (h_up, w_up)
+        meta["truncated"] = bool(np.asarray(people_dev.truncated))
+        people = people_to_numpy(people_dev, w_up, h_up)
+        return people, np.asarray(heat_avg), np.asarray(paf_avg), meta
+
+    def run_multiscale_host(self, image_bgr: np.ndarray,
+                            scales=(0.5, 1.0, 1.5, 2.0)):
+        """Host-averaged multi-scale path (cv2 resize per scale): the
+        differential oracle for run_multiscale."""
+        import cv2
+        ims, (bh, bw), meta = self._prep_scales(image_bgr, scales)
+        heat_sum = np.zeros((bh, bw, 19), np.float32)
+        paf_sum = np.zeros((bh, bw, 38), np.float32)
+        for im in ims:
+            _, heat, paf = self._infer_maps(self.params, jnp.asarray(im))
+            heat_sum += cv2.resize(np.asarray(heat), (bw, bh),
                                    interpolation=cv2.INTER_CUBIC)
-            paf_sum += cv2.resize(paf, (bw, bh),
+            paf_sum += cv2.resize(np.asarray(paf), (bw, bh),
                                   interpolation=cv2.INTER_CUBIC)
         heat_avg = heat_sum / len(scales)
         paf_avg = paf_sum / len(scales)
@@ -262,6 +304,7 @@ class PosePipeline:
                                        jnp.asarray(paf_avg))
         h_up, w_up = bh * self.downsample, bw * self.downsample
         meta["upsampled"] = (h_up, w_up)
+        meta["truncated"] = bool(np.asarray(people_dev.truncated))
         people = people_to_numpy(people_dev, w_up, h_up)
         return people, heat_avg, paf_avg, meta
 

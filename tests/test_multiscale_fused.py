@@ -1,0 +1,64 @@
+"""Fused (single-dispatch) multi-scale TTA vs the host cv2 path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtpose_tpu.infer.pipeline import PosePipeline
+from rtpose_tpu.models import get_model
+from rtpose_tpu.ops.resize import resize_bicubic
+
+
+@pytest.mark.parametrize("src,dst", [((23, 29), (46, 58)),
+                                     ((69, 46), (46, 31)),
+                                     ((10, 10), (17, 13))])
+def test_resize_bicubic_matches_cv2(src, dst):
+    import cv2
+    rng = np.random.RandomState(0)
+    maps = rng.rand(src[0], src[1], 7).astype(np.float32)
+    want = cv2.resize(maps, (dst[1], dst[0]),
+                      interpolation=cv2.INTER_CUBIC)
+    got = np.asarray(resize_bicubic(jnp.asarray(maps), dst))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_fused_multiscale_matches_host_path():
+    model = get_model("vgg19", num_stages=1, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    pipe = PosePipeline(model, params, input_size=56, flip=False)
+    img = (np.random.RandomState(0).rand(90, 70, 3) * 255).astype(np.uint8)
+    scales = (0.75, 1.0, 1.25)
+    p_host, h_host, paf_host, m_host = pipe.run_multiscale_host(img, scales)
+    p_dev, h_dev, paf_dev, m_dev = pipe.run_multiscale(img, scales)
+    assert m_dev["upsampled"] == m_host["upsampled"]
+    np.testing.assert_allclose(h_dev, h_host, atol=1e-5)
+    np.testing.assert_allclose(paf_dev, paf_host, atol=1e-5)
+    assert len(p_dev) == len(p_host)
+    for a, b in zip(p_dev, p_host):
+        assert set(a["parts"]) == set(b["parts"])
+        assert a["score"] == pytest.approx(b["score"], abs=1e-5)
+
+
+def test_fused_multiscale_single_dispatch():
+    """The fused path must not dispatch per scale: its jitted fn is entered
+    exactly once per call."""
+    model = get_model("vgg19", num_stages=1, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    pipe = PosePipeline(model, params, input_size=56, flip=False)
+    img = (np.random.RandomState(1).rand(90, 70, 3) * 255).astype(np.uint8)
+    calls = []
+    orig = pipe._multiscale_fn
+
+    def counting(n, hw):
+        fn = orig(n, hw)
+
+        def wrapper(params, *ims):
+            calls.append(len(ims))
+            return fn(params, *ims)
+        return wrapper
+
+    pipe._multiscale_fn = counting
+    pipe.run_multiscale(img, scales=(0.5, 1.0, 1.5))
+    assert calls == [3]
