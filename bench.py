@@ -8,17 +8,20 @@ batches in flight so transfer RTT overlaps compute — the realistic
 production serving shape.
 
 The driver's TPU is tunnel-attached and its throughput fluctuates heavily
-between runs (measured 60 MB/s to 1.6 GB/s H2D on identical code; block_until_ready resolves at enqueue so only readbacks time truthfully);
-the benchmark therefore runs 3 trials and reports the best sustained
-throughput.  Baseline: the BASELINE.json north star of 60 FPS/chip at
-368x368 (the reference publishes no FPS; its pipeline is a per-frame GPU
-forward + scipy NMS + single-threaded C++ grouping).
+between runs (measured 60 MB/s to 1.6 GB/s H2D on identical code;
+block_until_ready resolves at enqueue so only readbacks time truthfully).
+The e2e metric reports the best sustained trial (vs the 60 FPS/chip
+BASELINE.json north star) plus the median and spread across trials; the
+compute-bound metric (device-resident inputs, batch-amortized readback)
+is the number that generalizes off the tunnel, reported with measured
+MFU from the compiled program's XLA flop count.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", extras}.
 """
 
 import json
 import queue
+import statistics
 import threading
 import time
 
@@ -28,6 +31,17 @@ BATCH = 64
 DEPTH = 3      # in-flight batches
 ITERS = 14     # timed batches per trial
 TRIALS = 4
+COMPUTE_ITERS = 12
+
+# bf16 peak TFLOPS per chip by device kind (for MFU)
+_PEAK_TFLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
 
 def run_trial(serve, params, batches, device_put):
@@ -56,6 +70,31 @@ def run_trial(serve, params, batches, device_put):
     return ITERS * BATCH / dt
 
 
+def compute_bound_fps(serve, params, dev_batch):
+    """Device-resident input, batch-amortized readback: pure program
+    throughput, no H2D in the timed window."""
+    r = None
+    t0 = time.perf_counter()
+    for _ in range(COMPUTE_ITERS):
+        r = serve(params, dev_batch)
+    _ = np.asarray(r)                # drains the device queue truthfully
+    dt = time.perf_counter() - t0
+    return COMPUTE_ITERS * BATCH / dt
+
+
+def program_flops(serve, params, dev_batch):
+    """XLA's flop count for one serving batch (forward + decode)."""
+    import jax
+    try:
+        compiled = jax.jit(serve.__wrapped__).lower(
+            params, dev_batch).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -67,14 +106,19 @@ def main():
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 368, 368, 3), jnp.float32))
 
-    decode = jax.vmap(lambda h, p: decode_poses.__wrapped__(h, p))
+    def make_serve(max_peaks):
+        decode = jax.vmap(lambda h, p: decode_poses.__wrapped__(
+            h, p, max_peaks=max_peaks))
 
-    @jax.jit
-    def serve(params, frames_u8):
-        imgs = frames_u8.astype(jnp.float32) / 256.0 - 0.5
-        out = model.apply(params, imgs)
-        people = decode(out.heatmap, out.paf)
-        return people.coords
+        @jax.jit
+        def serve(params, frames_u8):
+            imgs = frames_u8.astype(jnp.float32) / 256.0 - 0.5
+            out = model.apply(params, imgs)
+            people = decode(out.heatmap, out.paf)
+            return people.coords
+        return serve
+
+    serve = make_serve(32)
 
     rng = np.random.RandomState(0)
     batches = [
@@ -83,18 +127,44 @@ def main():
     ]
 
     # warmup / compile (incl. first-transfer path init)
-    r = serve(params, jax.device_put(batches[0]))
+    dev_batch = jax.device_put(batches[0])
+    r = serve(params, dev_batch)
     jax.block_until_ready(r)
     _ = np.asarray(r)
 
-    fps = max(run_trial(serve, params, batches, jax.device_put)
-              for _ in range(TRIALS))
+    trials = sorted(run_trial(serve, params, batches, jax.device_put)
+                    for _ in range(TRIALS))
+    fps = trials[-1]
+    fps_median = statistics.median(trials)
+
+    c_fps = compute_bound_fps(serve, params, dev_batch)
+    flops = program_flops(serve, params, dev_batch)
+    kind = getattr(jax.devices()[0], "device_kind", "?")
+    peak = _PEAK_TFLOPS.get(kind)
+    mfu = (flops * (c_fps / BATCH) / peak) if (flops and peak) else None
+
+    # decode cost at the default and doubled peak caps (crowded scenes)
+    extra_decode = {}
+    for k in (32, 64):
+        s_k = make_serve(k)
+        rk = s_k(params, dev_batch)
+        _ = np.asarray(rk)           # compile + path warmup
+        fps_k = compute_bound_fps(s_k, params, dev_batch)
+        extra_decode[f"compute_fps_maxpeaks{k}"] = round(fps_k, 1)
 
     print(json.dumps({
         "metric": "fps_368x368_e2e_incl_grouping",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 60.0, 3),
+        "e2e_fps_median": round(fps_median, 2),
+        "e2e_fps_trials": [round(t, 1) for t in trials],
+        "compute_fps": round(c_fps, 2),
+        "program_gflops_per_image": round(flops / BATCH / 1e9, 2)
+        if flops else None,
+        "mfu": round(mfu, 4) if mfu else None,
+        "device": kind,
+        **extra_decode,
     }))
 
 

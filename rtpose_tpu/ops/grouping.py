@@ -108,48 +108,69 @@ def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
     ux = jnp.where(nz, dx / jnp.maximum(norm, 1e-12), 0.0)
     uy = jnp.where(nz, dy / jnp.maximum(norm, 1e-12), 0.0)
 
-    s = jnp.arange(STEP_PAF, dtype=jnp.float32)    # (10,)
     # integer sample coords: int(ax + s*(dx/10) + 0.5), truncation like C++
     # — step precomputed first, the reference's exact expression
     # (pafprocess.cpp:223-229), so 1-ulp rounding matches the host backends
-    lx = (ax[:, :, None, None] + s * (dx[..., None] / STEP_PAF) + 0.5
-          ).astype(jnp.int32)                      # (19, Ka, Kb, 10)
-    ly = (ay[:, :, None, None] + s * (dy[..., None] / STEP_PAF) + 0.5
-          ).astype(jnp.int32)
-    # nearest-upsample sampling == low-res index division
-    gx = jnp.clip(lx // factor, 0, w - 1)
-    gy = jnp.clip(ly // factor, 0, h - 1)
+    step_x = dx / STEP_PAF                         # (19, Ka, Kb)
+    step_y = dy / STEP_PAF
     if sampling == "onehot":
         # (19, h, w, 2): per-pair x/y channel planes stacked so one einsum
         # pass over the (large) row one-hot covers both components
         pafxy = jnp.stack([jnp.moveaxis(paf[:, :, _PAIR_CHX], -1, 0),
                            jnp.moveaxis(paf[:, :, _PAIR_CHY], -1, 0)],
                           axis=-1)
-        yoh = (gy[..., None]
-               == jnp.arange(h, dtype=jnp.int32)).astype(jnp.float32)
-        xoh = (gx[..., None]
-               == jnp.arange(w, dtype=jnp.int32)).astype(jnp.float32)
-        # precision=HIGHEST: the TPU default lowers fp32 einsum to a
-        # single bf16 MXU pass, which rounds the PAF values (~2e-3 error —
-        # enough to flip threshold decisions); the multi-pass mode is
-        # bit-exact for 0/1 weights
-        rowxy = jnp.einsum("pabsr,prcz->pabscz", yoh, pafxy,
-                           precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)
-        pxy = jnp.sum(rowxy * xoh[..., None], axis=-2)  # (19,Ka,Kb,10,2)
-        px = pxy[..., 0]
-        py = pxy[..., 1]
+
+        # lax.scan over the 10 samples: bounds the one-hot intermediates at
+        # (19, Ka, Kb, w, 2) per step — the fused (..., 10, h) formulation
+        # OOMs at K=64 x batch 64 (XLA materializes a 19 GB buffer) — and
+        # accumulates the sample sum in the C++ oracle's sequential fp32
+        # order (pafprocess.cpp:76-80)
+        def sample_step(carry, s):
+            cnt, ssum = carry
+            sf = s.astype(jnp.float32)
+            lx = (ax[:, :, None] + sf * step_x + 0.5).astype(jnp.int32)
+            ly = (ay[:, :, None] + sf * step_y + 0.5).astype(jnp.int32)
+            # nearest-upsample sampling == low-res index division
+            gx = jnp.clip(lx // factor, 0, w - 1)
+            gy = jnp.clip(ly // factor, 0, h - 1)
+            yoh = (gy[..., None]
+                   == jnp.arange(h, dtype=jnp.int32)).astype(jnp.float32)
+            xoh = (gx[..., None]
+                   == jnp.arange(w, dtype=jnp.int32)).astype(jnp.float32)
+            # precision=HIGHEST: the TPU default lowers fp32 einsum to a
+            # single bf16 MXU pass, which rounds the PAF values (~2e-3 —
+            # enough to flip threshold decisions); the multi-pass mode is
+            # bit-exact for 0/1 weights
+            rowxy = jnp.einsum("pabr,prcz->pabcz", yoh, pafxy,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+            pxy = jnp.sum(rowxy * xoh[..., None], axis=-2)  # (19,Ka,Kb,2)
+            sc = ux * pxy[..., 0] + uy * pxy[..., 1]
+            return (cnt + (sc > THRESH_VECTOR_SCORE).astype(jnp.int32),
+                    ssum + sc), None
+
+        init = (jnp.zeros(dx.shape, jnp.int32),
+                jnp.zeros(dx.shape, jnp.float32))
+        (cnt, ssum), _ = jax.lax.scan(sample_step, init,
+                                      jnp.arange(STEP_PAF))
+        mean = ssum / STEP_PAF
     else:
+        s = jnp.arange(STEP_PAF, dtype=jnp.float32)    # (10,)
+        lx = (ax[:, :, None, None] + s * step_x[..., None] + 0.5
+              ).astype(jnp.int32)                      # (19, Ka, Kb, 10)
+        ly = (ay[:, :, None, None] + s * step_y[..., None] + 0.5
+              ).astype(jnp.int32)
+        gx = jnp.clip(lx // factor, 0, w - 1)
+        gy = jnp.clip(ly // factor, 0, h - 1)
         base = gy * (w * 38) + gx * 38
         paf_flat = paf.reshape(-1)
         chx = _PAIR_CHX[:, None, None, None]
         chy = _PAIR_CHY[:, None, None, None]
         px = jnp.take(paf_flat, base + chx)
         py = jnp.take(paf_flat, base + chy)
-    sample_score = ux[..., None] * px + uy[..., None] * py  # (19,Ka,Kb,10)
-
-    cnt = jnp.sum(sample_score > THRESH_VECTOR_SCORE, axis=-1)
-    mean = jnp.mean(sample_score, axis=-1)
+        sample_score = ux[..., None] * px + uy[..., None] * py
+        cnt = jnp.sum(sample_score > THRESH_VECTOR_SCORE, axis=-1)
+        mean = jnp.mean(sample_score, axis=-1)
     crit2 = mean + jnp.minimum(0.0, 0.5 * h_up / jnp.maximum(norm, 1e-12)
                                - 1.0)
     valid = (va[:, :, None] & vb[:, None, :] & nz
