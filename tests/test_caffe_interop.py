@@ -1,0 +1,113 @@
+"""Caffe interop: prototxt export + caffe-pickle weight import."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtpose_tpu.models.caffe_interop import (export_shufflenet_caffe,
+                                             import_openpose_caffe_pickle,
+                                             load_openpose_caffe_pickle,
+                                             openpose_module_order,
+                                             shufflenet_prototxt)
+from rtpose_tpu.models.openpose_v2 import OpenPoseV2
+from rtpose_tpu.models.shufflenet_v2 import ShuffleNetV2RTPose
+
+
+def test_prototxt_structure():
+    txt = shufflenet_prototxt(1.0, 368)
+    # one unit1 (downsample) per stage + the right unit counts
+    assert txt.count('type: "ShuffleChannel"') == 4 + 8 + 4
+    assert txt.count('name: "stage3_unit8_shuffle"') == 1
+    assert 'num_output: 38' in txt and 'num_output: 19' in txt
+    assert 'dim: 368' in txt
+    # downsample units carry the projection branch
+    assert 'stage2_unit1_dw_proj' in txt
+    assert 'stage2_unit2_dw_proj' not in txt
+    # parses as balanced layer blocks
+    assert txt.count("layer {") == txt.count("}\n") - txt.count("} }") \
+        or txt.count("layer {") > 40
+
+
+def test_prototxt_export_with_weights(tmp_path):
+    model = ShuffleNetV2RTPose(width_multiplier=0.5, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    paths = export_shufflenet_caffe(str(tmp_path / "shuf"), params,
+                                    width_multiplier=0.5, image_hw=64)
+    assert len(paths) == 2
+    data = np.load(paths[1])
+    conv_keys = [k for k in data.files if k.endswith("kernel")]
+    assert conv_keys
+    # kernels exported OIHW: spatial dims last
+    k = data[conv_keys[0]]
+    assert k.ndim == 4 and k.shape[2] == k.shape[3]
+
+
+@pytest.fixture(scope="module")
+def openpose_model():
+    model = OpenPoseV2(dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    return model, params
+
+
+def _synth_pickle(params, rng):
+    """Fake openpose.pkl with the reference's entry layout, shaped to the
+    model (includes decoy split/concat entries the loader must skip)."""
+    root = params["params"] if "params" in params else params
+    entries = [{"name": "data_split", "weights": []}]
+    for i, (kind, path) in enumerate(openpose_module_order()):
+        leaf = root
+        for p in path:
+            leaf = leaf[p]
+        if kind == "conv":
+            hwio = np.asarray(leaf["kernel"]).shape
+            w = rng.randn(hwio[3], hwio[2], hwio[0], hwio[1]) * 0.01
+            b = rng.randn(hwio[3]) * 0.01
+            entries.append({"name": f"conv_l{i}",
+                            "weights": [w.astype(np.float32),
+                                        b.astype(np.float32)]})
+        else:
+            n = np.asarray(leaf["alpha"]).shape[0]
+            entries.append({"name": f"prelu_l{i}",
+                            "weights": [rng.rand(n).astype(np.float32)]})
+        if i == 3:
+            entries.append({"name": "prelu_concat_decoy", "weights": []})
+    return entries
+
+
+def test_caffe_pickle_import_roundtrip(openpose_model, tmp_path):
+    model, params = openpose_model
+    rng = np.random.RandomState(0)
+    entries = _synth_pickle(params, rng)
+    pkl = tmp_path / "openpose.pkl"
+    pkl.write_bytes(pickle.dumps(entries))
+
+    imported = load_openpose_caffe_pickle(str(pkl), params)
+    root = imported["params"]
+    # first conv == first conv entry, transposed OIHW->HWIO
+    first = next(e for e in entries if e["name"].startswith("conv"))
+    np.testing.assert_array_equal(
+        root["backbone"]["conv1_1"]["kernel"],
+        first["weights"][0].transpose(2, 3, 1, 0))
+    # a prelu deep in the net took its entry
+    prelu_entries = [e for e in entries if e["name"].startswith("prelu_l")]
+    np.testing.assert_array_equal(root["backbone"]["prelu4_2"]["alpha"],
+                                  prelu_entries[0]["weights"][0])
+    # the imported tree still runs
+    out = model.apply(jax.tree_util.tree_map(jnp.asarray, imported),
+                      jnp.zeros((1, 32, 32, 3)))
+    assert out.heatmap.shape[-1] == 19
+    assert np.isfinite(np.asarray(out.heatmap)).all()
+
+
+def test_caffe_pickle_shape_mismatch_raises(openpose_model):
+    _, params = openpose_model
+    rng = np.random.RandomState(1)
+    entries = _synth_pickle(params, rng)
+    first = next(e for e in entries if e["name"].startswith("conv"))
+    first["weights"][0] = first["weights"][0][:, :, :1, :1]
+    with pytest.raises(ValueError, match="conv shape mismatch"):
+        import_openpose_caffe_pickle(entries, params)
