@@ -1,7 +1,7 @@
 """LR scheduling + phase control.
 
 - ReduceLROnPlateau (reference train/train_VGG19.py:332: factor 0.8,
-  patience 5, cooldown 3, driven by val loss)
+  patience 5, cooldown 3, threshold 1e-4 rel, driven by val loss)
 - the two-phase freeze schedule: pretrained backbone convs frozen for the
   first N epochs, then released (reference train_VGG19.py:305-330)
 """
@@ -18,13 +18,23 @@ class ReduceLROnPlateau:
     patience: int = 5
     cooldown: int = 3
     min_lr: float = 1e-8
+    threshold: float = 1e-4
+    threshold_mode: str = "rel"
     best: float = float("inf")
     num_bad: int = 0
     cooldown_left: int = 0
 
+    def _improved(self, metric: float) -> bool:
+        # torch semantics (reference train_VGG19.py:332 uses
+        # threshold=1e-4, threshold_mode='rel'): micro-improvements do not
+        # reset the bad-epoch counter
+        if self.threshold_mode == "rel":
+            return metric < self.best * (1.0 - self.threshold)
+        return metric < self.best - self.threshold
+
     def step(self, metric: float) -> float:
         """Feed a validation metric (lower=better); returns current lr."""
-        if metric < self.best:
+        if self._improved(metric):
             self.best = metric
             self.num_bad = 0
         elif self.cooldown_left > 0:

@@ -237,8 +237,12 @@ class Trainer:
                                                    mask)
             else:
                 logs = self.eval_step(self.state, images, kps, mask)
-            logs = {k: float(v) for k, v in
-                    jax.tree_util.tree_map(np.asarray, logs).items()}
+            # ONE host readback for all ~18 log scalars: on the tunnel
+            # backend every np.asarray pays the full RTT (~0.5 s under
+            # load), so per-key conversion turned a 0.4 s step into 10 s
+            keys = sorted(logs)
+            vals = np.asarray(jnp.stack([logs[k] for k in keys]))
+            logs = {k: float(v) for k, v in zip(keys, vals)}
             for k, v in logs.items():
                 meters.setdefault(k, AverageMeter()).update(
                     v, n=images.shape[0])

@@ -125,6 +125,22 @@ def test_plateau_schedule():
     assert s2.lr == 0.5
 
 
+def test_plateau_threshold_rel():
+    """Micro-improvements below the 1e-4 rel threshold must count as bad
+    epochs (reference train_VGG19.py:332 threshold semantics) — without
+    this, a flat-lined val loss that jitters by 1e-7 never drops the LR
+    (observed live in the round-2 hardware run)."""
+    s = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=1, cooldown=0)
+    s.step(1.0)
+    assert s.step(0.99999) == 1.0       # bad 1 (improvement < threshold)
+    assert s.step(0.99998) == 0.5       # bad 2 > patience -> drop
+    # a real improvement resets
+    s2 = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=1, cooldown=0)
+    s2.step(1.0)
+    assert s2.step(0.9) == 1.0
+    assert s2.num_bad == 0
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = _tiny_cfg(tmp_path)
     tr = Trainer(cfg)
