@@ -26,7 +26,7 @@ def decode_poses(heatmaps: jax.Array, pafs: jax.Array, *, factor: int = 8,
                  max_people: int = 64, refine: bool = True,
                  max_candidates: int = 256,
                  max_total_conns: int = 160,
-                 sampling: str = "onehot") -> People:
+                 sampling: str = "auto") -> People:
     """Decode one image's low-res maps into fixed-shape people.
 
     heatmaps: (H, W, 19), pafs: (H, W, 38), both float32.  All fixed-shape

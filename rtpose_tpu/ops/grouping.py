@@ -72,7 +72,7 @@ jax.tree_util.register_pytree_node(
 
 def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
                       thresh_vector_cnt: int = 6,
-                      sampling: str = "onehot"
+                      sampling: str = "auto"
                       ) -> Tuple[jax.Array, jax.Array]:
     """Score all (pair, ia, ib) candidates.
 
@@ -80,16 +80,21 @@ def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
     (NUM_GROUP_PAIRS, K, K); scores are criterion2 values
     (reference pafprocess.cpp:56-92).
 
-    sampling: 'onehot' (default) reads the 19xKxKx10 PAF samples with exact
-    one-hot row/column contractions — TPU has no hardware gather and the
-    naive `jnp.take` formulation ('gather', kept for differential tests)
-    costs ~400 ms per 72-image batch vs ~10 ms for the contraction.
-    One-hot x value products are exact in fp32 (weights are 0/1), so both
-    paths are bit-identical.
+    sampling — all modes are bit-identical (0/1 one-hot weights are exact
+    in fp32; hardware-verified), chosen for speed per backend:
+    - 'auto' (default): 'pallas' on TPU, 'onehot' elsewhere
+    - 'pallas': fused VMEM-resident kernel — measured 0.39 ms/img vs 0.64
+      for 'onehot' on the v5e (no HBM'd one-hot intermediates)
+    - 'onehot': XLA scan of one-hot row/column contractions
+    - 'gather': naive jnp.take (TPU has no hardware gather: ~400 ms per
+      72-image batch vs ~10 ms; kept for differential tests / large-K on
+      CPU)
     """
-    if sampling not in ("onehot", "gather"):
-        raise ValueError(f"sampling must be 'onehot' or 'gather', "
-                         f"got {sampling!r}")
+    if sampling == "auto":
+        sampling = "pallas" if jax.default_backend() == "tpu" else "onehot"
+    if sampling not in ("onehot", "gather", "pallas"):
+        raise ValueError(f"sampling must be 'auto', 'onehot', 'gather' or "
+                         f"'pallas', got {sampling!r}")
     h, w, _ = paf.shape
     h_up = h * factor
     K = peaks.x.shape[1]
@@ -113,7 +118,27 @@ def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
     # (pafprocess.cpp:223-229), so 1-ulp rounding matches the host backends
     step_x = dx / STEP_PAF                         # (19, Ka, Kb)
     step_y = dy / STEP_PAF
-    if sampling == "onehot":
+    if sampling == "pallas":
+        # fused VMEM-resident kernel (ops/pallas_kernels.py): bit-identical
+        # accumulation order, no HBM'd one-hot intermediates
+        from .pallas_kernels import paf_sample_scores
+        C = K * K
+        pafxt = jnp.moveaxis(paf[:, :, _PAIR_CHX], -1, 0)   # (19, h, w)
+        pafxt = jnp.swapaxes(pafxt, 1, 2)                    # (19, w, h)
+        pafyt = jnp.swapaxes(
+            jnp.moveaxis(paf[:, :, _PAIR_CHY], -1, 0), 1, 2)
+        geo = jnp.stack([
+            jnp.broadcast_to(ax[:, :, None], dx.shape).reshape(-1, C),
+            jnp.broadcast_to(ay[:, :, None], dy.shape).reshape(-1, C),
+            step_x.reshape(-1, C),
+            step_y.reshape(-1, C),
+            ux.reshape(-1, C),
+            uy.reshape(-1, C),
+        ], axis=1)                                           # (19, 6, C)
+        cnt_f, ssum = paf_sample_scores(pafxt, pafyt, geo, factor=factor)
+        cnt = cnt_f.reshape(NUM_GROUP_PAIRS, K, K).astype(jnp.int32)
+        mean = ssum.reshape(NUM_GROUP_PAIRS, K, K) / STEP_PAF
+    elif sampling == "onehot":
         # (19, h, w, 2): per-pair x/y channel planes stacked so one einsum
         # pass over the (large) row one-hot covers both components
         pafxy = jnp.stack([jnp.moveaxis(paf[:, :, _PAIR_CHX], -1, 0),
@@ -366,7 +391,7 @@ def group_peaks_device(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
                        min_part_cnt: int = 4, min_human_score: float = 0.3,
                        max_candidates: int = 256,
                        max_total_conns: int = 160,
-                       sampling: str = "onehot") -> People:
+                       sampling: str = "auto") -> People:
     """peaks + low-res PAF -> fixed-shape people.
 
     sampling='gather' is bit-identical but cheaper at large K on CPU

@@ -62,17 +62,26 @@ def main():
     nms_pallas = bat(lambda h: P.nms(h, use_pallas=True).score)
     score_only = bat(lambda h, p: G.score_connections(
         P.nms(h), p)[0])
+    score_pallas = bat(lambda h, p: G.score_connections(
+        P.nms(h), p, sampling="pallas")[0])
     full = bat(lambda h, p: decode_poses.__wrapped__(h, p).coords)
+    full_pallas = bat(lambda h, p: decode_poses.__wrapped__(
+        h, p, sampling="pallas").coords)
     full_k64 = bat(lambda h, p: decode_poses.__wrapped__(
         h, p, max_peaks=64).coords)
+    full_k64_pallas = bat(lambda h, p: decode_poses.__wrapped__(
+        h, p, max_peaks=64, sampling="pallas").coords)
 
     ms = 1000.0 / BATCH
     t_coarse = timed(nms_coarse, heat)
     t_nms = timed(nms_full, heat)
     t_pallas = timed(nms_pallas, heat)
     t_score = timed(score_only, heat, paf)
+    t_score_pl = timed(score_pallas, heat, paf)
     t_full = timed(full, heat, paf)
+    t_full_pl = timed(full_pallas, heat, paf)
     t_full64 = timed(full_k64, heat, paf)
+    t_full64_pl = timed(full_k64_pallas, heat, paf)
     print(f"nms coarse (no refine):    {t_coarse*ms:7.3f} ms/img")
     print(f"nms + XLA refine:          {t_nms*ms:7.3f} ms/img "
           f"(refine = {(t_nms-t_coarse)*ms:.3f})")
@@ -80,9 +89,13 @@ def main():
           f"(refine = {(t_pallas-t_coarse)*ms:.3f})")
     print(f"nms + PAF scoring:         {t_score*ms:7.3f} ms/img "
           f"(scoring = {(t_score-t_nms)*ms:.3f})")
+    print(f"nms + PAF scoring pallas:  {t_score_pl*ms:7.3f} ms/img "
+          f"(scoring = {(t_score_pl-t_nms)*ms:.3f})")
     print(f"full decode:               {t_full*ms:7.3f} ms/img "
           f"(greedy+assembly = {(t_full-t_score)*ms:.3f})")
+    print(f"full decode pallas:        {t_full_pl*ms:7.3f} ms/img")
     print(f"full decode K=64:          {t_full64*ms:7.3f} ms/img")
+    print(f"full decode K=64 pallas:   {t_full64_pl*ms:7.3f} ms/img")
 
     # GT synthesis (training path), batch 72
     from rtpose_tpu.data.gt import _device_impl

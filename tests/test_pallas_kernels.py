@@ -42,3 +42,29 @@ def test_pallas_refine_border_peaks():
                                np.asarray(plk.xf)[v], atol=1e-5)
     np.testing.assert_allclose(np.asarray(xla.yf)[v],
                                np.asarray(plk.yf)[v], atol=1e-5)
+
+
+def test_paf_sample_scores_matches_xla_paths():
+    """Fused sampling kernel (interpret mode on CPU) vs the onehot and
+    gather XLA formulations: scores and validity must agree exactly."""
+    import jax.numpy as jnp
+
+    from rtpose_tpu.ops import grouping as G
+    from rtpose_tpu.ops.peaks import nms
+    from util_synth import synth_example
+
+    for seed in (0, 5, 9):
+        _, heat, paf = synth_example(seed=seed, n_people=1 + seed % 5)
+        peaks = nms(jnp.asarray(heat))
+        outs = {}
+        for mode in ("onehot", "gather", "pallas"):
+            s, v = G.score_connections(peaks, jnp.asarray(paf),
+                                       sampling=mode)
+            outs[mode] = (np.asarray(s), np.asarray(v))
+        for mode in ("gather", "pallas"):
+            sv, vv = outs[mode]
+            s0, v0 = outs["onehot"]
+            np.testing.assert_array_equal(vv, v0, err_msg=f"{mode} seed={seed}")
+            np.testing.assert_allclose(
+                np.where(v0, sv, 0), np.where(v0, s0, 0), atol=1e-6,
+                err_msg=f"{mode} seed={seed}")
