@@ -10,10 +10,11 @@ and row intermediates in HBM every sample step; measured round 2 on the
 v5e that makes scoring 0.69 ms/img of the 1.35 ms/img decode.
 
 `bicubic_refine` fuses the NMS sub-pixel refinement (see ops/peaks.py
-_refine).  Measured round 2: 0.455 ms/img vs 0.356 for the XLA matmul
-path — XLA wins there (the interp matmuls are already fusion-friendly),
-so the XLA path stays the default and this kernel is kept only as a
-reference pattern.
+_refine).  Measured round 2: 0.45 ms/img vs 0.055 for the batched
+one-hot-einsum XLA path (ops/peaks.py _refine_onehot) — XLA wins there
+decisively (this kernel's host-side patch extraction still pays the
+per-peak gathers), so the XLA path stays the default and this kernel is
+kept only as a reference pattern.
 
 Falls back to interpret mode off-TPU; tests/test_pallas_kernels.py checks
 bit-parity against the XLA paths.
