@@ -256,9 +256,28 @@ def _get_batch_fn(grid_y, grid_x, stride, sigma, limb_width):
 def ground_truth_maps_batch(keypoints_batch, *, input_y: int = 368,
                             input_x: int = 368, stride: int = 8,
                             sigma: float = 7.0,
-                            limb_width: float = LIMB_WIDTH):
-    """Batched device GT synthesis: (B, N, 18, 3) -> (B, gy, gx, 19/38)."""
+                            limb_width: float = LIMB_WIDTH,
+                            backend: str = "auto"):
+    """Batched device GT synthesis: (B, N, 18, 3) -> (B, gy, gx, 19/38).
+
+    backend: 'xla' (vmapped scan over persons), 'pallas' (fused VMEM kernel
+    with a dynamic per-image person loop, ops/pallas_gt.py — measured
+    bit-identical and ~4x faster on the v5e), or 'auto' (pallas on a
+    single-device TPU process, xla otherwise — pallas_call has no GSPMD
+    partitioning rule, so sharded multi-chip meshes keep the scan path).
+    """
+    import jax
     import jax.numpy as jnp
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() == "tpu"
+                   and jax.device_count() == 1 else "xla")
+    if backend == "pallas":
+        from ..ops.pallas_gt import gt_maps_pallas
+        return gt_maps_pallas(
+            jnp.asarray(keypoints_batch, jnp.float32),
+            grid_y=input_y // stride, grid_x=input_x // stride,
+            stride=stride, sigma=sigma, limb_width=limb_width,
+            interpret=jax.default_backend() != "tpu")
     bfn = _get_batch_fn(input_y // stride, input_x // stride, stride,
                         sigma, limb_width)
     return bfn(jnp.asarray(keypoints_batch, jnp.float32))

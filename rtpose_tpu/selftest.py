@@ -51,7 +51,10 @@ def check_decode_parity(n_scenes: int = 6) -> bool:
 
 
 def check_gt_equivalence() -> bool:
+    import jax
+
     from .data.gt import ground_truth_maps, ground_truth_maps_device
+    from .ops.pallas_gt import gt_maps_pallas
 
     rng = np.random.RandomState(0)
     kps = np.zeros((3, 18, 3))
@@ -63,7 +66,14 @@ def check_gt_equivalence() -> bool:
     ok = (np.allclose(np.asarray(h2), h1, atol=2e-6)
           and np.allclose(np.asarray(p2), p1, atol=2e-6))
     print(f"GT synthesis host/device equivalence: {'OK' if ok else 'FAIL'}")
-    return ok
+
+    h3, p3 = gt_maps_pallas(kps[None].astype(np.float32), grid_y=46,
+                            grid_x=46, stride=8, sigma=7.0,
+                            interpret=jax.default_backend() != "tpu")
+    ok_pl = (np.allclose(np.asarray(h3)[0], h1, atol=2e-6)
+             and np.allclose(np.asarray(p3)[0], p1, atol=2e-6))
+    print(f"GT synthesis pallas kernel parity: {'OK' if ok_pl else 'FAIL'}")
+    return ok and ok_pl
 
 
 def check_flip_algebra() -> bool:

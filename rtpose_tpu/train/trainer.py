@@ -62,11 +62,22 @@ def _accepts_train_kwarg(model) -> bool:
     return "train" in inspect.signature(model.__call__).parameters
 
 
-def make_train_step(model, tx, cfg: Config):
+def make_train_step(model, tx, cfg: Config, gt_backend: str = "xla"):
     gt_fn = _device_impl()
     gy = gx = cfg.dataset.image_size // cfg.model.downsample
     has_train_kwarg = _accepts_train_kwarg(model)
     masked = cfg.train.masked_loss
+    if gt_backend == "pallas":
+        from ..ops.pallas_gt import gt_maps_pallas
+        gt_batch = functools.partial(
+            gt_maps_pallas, grid_y=gy, grid_x=gx,
+            stride=cfg.model.downsample, sigma=cfg.dataset.sigma,
+            limb_width=cfg.dataset.limb_width,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        gt_batch = jax.vmap(functools.partial(
+            gt_fn, grid_y=gy, grid_x=gx, stride=cfg.model.downsample,
+            sigma=cfg.dataset.sigma, limb_width=cfg.dataset.limb_width))
 
     def _apply(params, model_state, images, train):
         variables = {"params": params, **model_state}
@@ -78,10 +89,7 @@ def make_train_step(model, tx, cfg: Config):
         return model.apply(variables, images, **kwargs), model_state
 
     def loss_fn(params, model_state, images, keypoints, mask, train):
-        heat_gt, paf_gt = jax.vmap(functools.partial(
-            gt_fn, grid_y=gy, grid_x=gx, stride=cfg.model.downsample,
-            sigma=cfg.dataset.sigma,
-            limb_width=cfg.dataset.limb_width))(keypoints)
+        heat_gt, paf_gt = gt_batch(keypoints)
         out, new_state = _apply(params, model_state, images, train)
         hm = pm = None
         if masked and mask is not None:
@@ -152,7 +160,12 @@ class Trainer:
         else:
             model_state = {}
         self.tx = make_optimizer(cfg)
-        step_fn, eval_fn = make_train_step(self.model, self.tx, cfg)
+        # pallas GT kernel only on a single-chip TPU: pallas_call has no
+        # GSPMD partitioning rule, so sharded meshes keep the XLA scan path
+        gt_backend = ("pallas" if jax.default_backend() == "tpu"
+                      and self.mesh.size == 1 else "xla")
+        step_fn, eval_fn = make_train_step(self.model, self.tx, cfg,
+                                           gt_backend=gt_backend)
 
         frozen_paths = self._frozen_paths()
         mask = freeze_mask(params, frozen_paths,

@@ -104,3 +104,52 @@ def test_batched_device_gt():
     heat, paf = gt.ground_truth_maps_batch(kps)
     assert heat.shape == (4, 46, 46, 19)
     assert paf.shape == (4, 46, 46, 38)
+
+
+@pytest.mark.parametrize("seed,n_people", [(0, 0), (1, 3), (2, 8)])
+def test_pallas_gt_matches_host_and_xla(seed, n_people):
+    """Fused pallas kernel (interpret mode on CPU) == host oracle == XLA
+    scan path, including empty scenes and invalid rows mid-padding."""
+    from rtpose_tpu.ops.pallas_gt import gt_maps_pallas
+
+    rng = np.random.RandomState(seed)
+    kps = np.zeros((2, 16, 18, 3), np.float32)
+    for b in range(2):
+        for p in range(n_people):
+            kps[b, p, :, 0] = rng.uniform(0, 367, 18)
+            kps[b, p, :, 1] = rng.uniform(0, 367, 18)
+            kps[b, p, :, 2] = rng.choice([0, 2], 18, p=[.3, .7])
+    if n_people >= 3:
+        kps[0, 1] = 0.0      # all-invisible person inside the padding
+
+    heat_p, paf_p = gt_maps_pallas(kps, grid_y=46, grid_x=46, stride=8,
+                                   sigma=7.0, interpret=True)
+    heat_x, paf_x = gt.ground_truth_maps_batch(kps, backend="xla")
+    np.testing.assert_allclose(np.asarray(heat_p), np.asarray(heat_x),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(paf_p), np.asarray(paf_x),
+                               atol=1e-6)
+    for b in range(2):
+        heat_h, paf_h = gt.ground_truth_maps(kps[b])
+        np.testing.assert_allclose(np.asarray(heat_p)[b], heat_h, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(paf_p)[b], paf_h, atol=2e-6)
+
+
+def test_pallas_gt_nonsquare_grid():
+    from rtpose_tpu.ops.pallas_gt import gt_maps_pallas
+
+    rng = np.random.RandomState(7)
+    kps = np.zeros((1, 4, 18, 3), np.float32)
+    kps[0, 0, :, 0] = rng.uniform(0, 300, 18)
+    kps[0, 0, :, 1] = rng.uniform(0, 200, 18)
+    kps[0, 0, :, 2] = 2.0
+    heat_p, paf_p = gt_maps_pallas(kps, grid_y=28, grid_x=40, stride=8,
+                                   sigma=7.0, interpret=True)
+    assert heat_p.shape == (1, 28, 40, 19)
+    fn = gt._get_device_fn()
+    heat_x, paf_x = fn(kps[0], grid_y=28, grid_x=40, stride=8, sigma=7.0,
+                       limb_width=1.0)
+    np.testing.assert_allclose(np.asarray(heat_p)[0], np.asarray(heat_x),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(paf_p)[0], np.asarray(paf_x),
+                               atol=1e-6)
