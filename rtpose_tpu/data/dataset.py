@@ -91,12 +91,16 @@ class CocoKeypoints:
     def __len__(self) -> int:
         return len(self.ids)
 
-    def get(self, index: int, rng: np.random.Generator) -> Dict:
+    def raw_sample(self, index: int):
+        """Annotation prep without pixel work: (img_id, path, kp17
+        (P, 17, 3), corner_sets (U, 17, 3) fake keypoint sets carrying
+        crowd/unlabeled bbox corners for the loss mask).
+
+        Shared by the PIL path (:meth:`get`) and the native C++ loader
+        (data/native_loader.py)."""
         img_id = self.ids[index]
         info = self.coco.image_info(img_id)
         path = os.path.join(self.image_dir, info["file_name"])
-        with open(path, "rb") as f:
-            image = PIL.Image.open(f).convert("RGB")
         anns = self.coco.annotations(img_id, self.person_cats)
         # classify by index: dict-value membership is O(n^2) and misgroups
         # duplicate annotations
@@ -115,7 +119,6 @@ class CocoKeypoints:
         # augmentation (the reference's mask_miss analogue; its masked
         # trainers depend on a loader missing from the repo,
         # SURVEY.md C28).
-        n_people = len(kp17)
         corner_sets = []
         for a in unlabeled:
             x, y, w, h = a.get("bbox", (0, 0, 0, 0))
@@ -125,18 +128,18 @@ class CocoKeypoints:
             c[2] = (x, y + h, 2)
             c[3] = (x + w, y + h, 2)
             corner_sets.append(c)
-        all_kp = np.concatenate(
-            [kp17] + ([np.stack(corner_sets)] if corner_sets else []),
-            axis=0) if (len(kp17) or corner_sets) else np.zeros((0, 17, 3))
+        corners = (np.stack(corner_sets) if corner_sets
+                   else np.zeros((0, 17, 3)))
+        return img_id, path, kp17, corners
 
-        sample = T.Sample.new(image, all_kp)
-        sample = self.preprocess(sample, rng)
-
-        arr = T.image_to_tensor(sample.image)
-        arr = T.mask_valid_area(arr, sample.meta["valid_area"])
-
-        people_kp = sample.keypoints[:n_people]
-        region_kp = sample.keypoints[n_people:]
+    def finalize_keypoints(self, keypoints: np.ndarray, n_people: int):
+        """Post-geometric keypoint finalization shared with the native
+        loader: neck synthesis, illegal-joint removal, fixed-shape padding,
+        and the crowd/unlabeled-region loss mask from the transformed
+        corner sets.  Returns (padded (MAX, 18, 3), mask (gy, gx, 1),
+        kps18)."""
+        people_kp = keypoints[:n_people]
+        region_kp = keypoints[n_people:]
         if len(people_kp):
             kps18 = np.stack([add_neck(k) for k in people_kp])
         else:
@@ -163,7 +166,24 @@ class CocoKeypoints:
             y1 = int(np.clip(np.ceil(pts[:, 1].max() / self.stride),
                              0, gy))
             mask[y0:y1, x0:x1, :] = 0.0
+        return padded, mask, kps18
 
+    def get(self, index: int, rng: np.random.Generator) -> Dict:
+        img_id, path, kp17, corners = self.raw_sample(index)
+        with open(path, "rb") as f:
+            image = PIL.Image.open(f).convert("RGB")
+        n_people = len(kp17)
+        all_kp = np.concatenate([kp17, corners], axis=0) \
+            if (len(kp17) or len(corners)) else np.zeros((0, 17, 3))
+
+        sample = T.Sample.new(image, all_kp)
+        sample = self.preprocess(sample, rng)
+
+        arr = T.image_to_tensor(sample.image)
+        arr = T.mask_valid_area(arr, sample.meta["valid_area"])
+
+        padded, mask, kps18 = self.finalize_keypoints(sample.keypoints,
+                                                      n_people)
         out = {"image": arr.astype(np.float32), "keypoints": padded,
                "image_id": img_id, "mask": mask}
         if self.host_gt:
