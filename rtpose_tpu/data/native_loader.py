@@ -40,7 +40,7 @@ class AugParams:
     brightness: float = 1.0
     contrast: float = 1.0
     saturation: float = 1.0
-    hue_shift: int = 0
+    hue_shift: int = -1      # -1 = no HSV round trip (jitter disabled)
     jpeg_quality: int = 0      # 0 = off
     grayscale: bool = False
     hflip: bool = False

@@ -422,7 +422,9 @@ class Pool {
         if (j.brightness != 1.0f) enhance_brightness(rgb, j.brightness);
         if (j.contrast != 1.0f) enhance_contrast(rgb, j.contrast);
         if (j.saturation != 1.0f) enhance_saturation(rgb, j.saturation);
-        if (j.hue_shift != 0) adjust_hue(rgb, j.hue_shift);
+        // hue_shift >= 0 applies the (lossy) HSV round trip even for a
+        // zero shift, exactly like ColorJitter's unconditional adjust_hue
+        if (j.hue_shift >= 0) adjust_hue(rgb, j.hue_shift);
         if (j.do_jpeg && !recompress_jpeg(rgb, w, h, j.jpeg_quality))
             return false;
         if (j.do_gray) to_grayscale(rgb);

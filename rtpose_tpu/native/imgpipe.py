@@ -102,7 +102,7 @@ class ImgPipe:
     def submit(self, jpeg: bytes, *, out: np.ndarray,
                out_u8: Optional[np.ndarray] = None,
                brightness: float = 1.0, contrast: float = 1.0,
-               saturation: float = 1.0, hue_shift: int = 0,
+               saturation: float = 1.0, hue_shift: int = -1,
                jpeg_quality: int = 0, grayscale: bool = False,
                hflip: bool = False,
                resize_wh=(0, 0), crop_xy=(0, 0),

@@ -248,3 +248,13 @@ def test_native_loader_throughput_report(coco_dir):
     n = sum(b["image"].shape[0] for _ in range(3) for b in nat)
     dt = time.perf_counter() - t0
     print(f"\nnative loader: {n / dt:.1f} img/s")
+
+
+def test_hue_zero_shift_still_round_trips(pipe, jpg):
+    """ColorJitter applies the lossy HSV round trip even when the sampled
+    shift is 0; hue_shift=0 must match that, and -1 must be a no-op."""
+    pil = PIL.Image.open(io.BytesIO(jpg)).convert("RGB")
+    _, u8 = _run(pipe, jpg, 160, 120, hue_shift=0)
+    np.testing.assert_array_equal(u8, np.asarray(T.adjust_hue(pil, 0.0)))
+    _, u8 = _run(pipe, jpg, 160, 120, hue_shift=-1)
+    np.testing.assert_array_equal(u8, np.asarray(pil))
