@@ -30,7 +30,7 @@ from typing import Dict, Iterator
 import numpy as np
 
 from ..native.imgpipe import ImgPipe, jpeg_size
-from .dataset import CocoKeypoints
+from .dataset import MAX_PEOPLE_PER_IMAGE, CocoKeypoints
 from .transforms import _SWAP17
 
 
@@ -142,7 +142,7 @@ class NativeLoader:
         edge = self.dataset.input_size
         B = len(indices)
         images = np.zeros((B, edge, edge, 3), np.float32)
-        all_kps = np.zeros((B, 32, 18, 3), np.float32)
+        all_kps = np.zeros((B, MAX_PEOPLE_PER_IMAGE, 18, 3), np.float32)
         masks = np.zeros((B, edge // self.dataset.stride,
                           edge // self.dataset.stride, 1), np.float32)
         img_ids = np.zeros((B,), np.int64)
