@@ -80,8 +80,14 @@ def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
     (NUM_GROUP_PAIRS, K, K); scores are criterion2 values
     (reference pafprocess.cpp:56-92).
 
-    sampling — all modes are bit-identical (0/1 one-hot weights are exact
-    in fp32; hardware-verified), chosen for speed per backend:
+    sampling — all modes select the exact same PAF cells (0/1 one-hot
+    weights are exact in fp32; hardware-verified) and agree on the valid
+    set; the accumulated sample sums can differ by ~1e-5 between backends
+    (compiler FMA/accumulation choices), so candidates whose scores are
+    closer than that may greedy-order differently — the same sensitivity
+    any fp reimplementation of the reference C++ has (scripts/
+    soak_decode.py measures the people-level effect at <0.5%).  Modes are
+    chosen for speed per backend:
     - 'auto' (default): 'pallas' on TPU, 'onehot' elsewhere
     - 'pallas': fused VMEM-resident kernel — measured 0.39 ms/img vs 0.64
       for 'onehot' on the v5e (no HBM'd one-hot intermediates)
