@@ -63,8 +63,9 @@ def main():
     writer = None
     n = 0
     t0 = time.time()
-    for frames in iter_batches(cap, args.batch):
-        people_lists, metas = pipe.run_batch(frames)
+
+    def emit(frames, people_lists, metas):
+        nonlocal writer, n
         for frame, people, meta in zip(frames, people_lists, metas):
             out = draw_people(frame, people, meta)
             if writer is None:
@@ -73,6 +74,17 @@ def main():
                     (out.shape[1], out.shape[0]))
             writer.write(out)
             n += 1
+
+    # depth-2 pipeline: batch k+1's transfer+compute runs while batch k's
+    # results are read back and rendered
+    pending = None
+    for frames in iter_batches(cap, args.batch):
+        ticket = pipe.run_batch_submit(frames)
+        if pending is not None:
+            emit(pending[0], *pipe.run_batch_collect(pending[1]))
+        pending = (frames, ticket)
+    if pending is not None:
+        emit(pending[0], *pipe.run_batch_collect(pending[1]))
     if writer is not None:
         writer.release()
     cap.release()

@@ -193,9 +193,12 @@ class PosePipeline:
         people_dev, heat, paf = self._infer(self.params, jnp.asarray(im))
         h_up = heat.shape[0] * self.downsample
         w_up = heat.shape[1] * self.downsample
-        people = people_to_numpy(people_dev, w_up, h_up)
+        # one bundled readback (issuing the field transfers together) —
+        # per-field np.asarray pays a tunnel RTT each
+        people_host = jax.device_get(people_dev)
+        people = people_to_numpy(people_host, w_up, h_up)
         meta["upsampled"] = (h_up, w_up)
-        meta["truncated"] = bool(np.asarray(people_dev.truncated))
+        meta["truncated"] = bool(people_host.truncated)
         return people, np.asarray(heat), np.asarray(paf), meta
 
     def run_batch(self, images_bgr):
@@ -203,13 +206,24 @@ class PosePipeline:
         per batch, people lists per frame.  Frames are resized/padded
         individually; batching requires identical padded shapes (true for
         a fixed-resolution video stream)."""
+        # submit + immediate collect; ONE whole-batch readback (per-frame
+        # per-field np.asarray costs a full tunnel RTT each — ~30 ms x 5
+        # fields x B frames dominated video serving before this)
+        return self.run_batch_collect(self.run_batch_submit(images_bgr))
+
+    def run_batch_submit(self, images_bgr):
+        """Enqueue one batch on the device WITHOUT blocking on results.
+
+        Pair with :meth:`run_batch_collect`; keeping one submitted batch in
+        flight while collecting the previous one overlaps host->device
+        transfer + compute with readback (the video/streaming serving
+        shape — demo/video_demo.py).  Falls back to an eager result tuple
+        for mixed-shape batches (same semantics as run_batch)."""
         ims, metas = zip(*(self._prep(im) for im in images_bgr))
-        shapes = {im.shape for im in ims}
-        if len(shapes) != 1:
-            # mixed padded shapes (e.g. cv2.resize rounding split a bucket):
-            # fall back to per-image runs, whose metas carry 'upsampled'
+        if len({im.shape for im in ims}) != 1:
             results = [self.run(im) for im in images_bgr]
-            return [r[0] for r in results], [r[3] for r in results]
+            return ("eager", [r[0] for r in results],
+                    [r[3] for r in results])
         batch = jnp.asarray(np.stack(ims))
         if not hasattr(self, "_infer_batch"):
             single = make_infer_fn(self.model, flip=self.flip,
@@ -218,19 +232,27 @@ class PosePipeline:
                 lambda p, b: jax.vmap(
                     lambda im: single.__wrapped__(p, im))(b))
         people_dev, heat, _paf = self._infer_batch(self.params, batch)
+        return ("async", people_dev, heat, list(metas))
+
+    def run_batch_collect(self, submitted):
+        """Block on a :meth:`run_batch_submit` ticket -> (people, metas)."""
+        if submitted[0] == "eager":
+            return submitted[1], submitted[2]
+        _, people_dev, heat, metas = submitted
         h_up = heat.shape[1] * self.downsample
         w_up = heat.shape[2] * self.downsample
+        people_host = jax.device_get(people_dev)
         out = []
         for i, meta in enumerate(metas):
             meta["upsampled"] = (h_up, w_up)
-            meta["truncated"] = bool(np.asarray(people_dev.truncated[i]))
+            meta["truncated"] = bool(people_host.truncated[i])
             sub = People(
-                coords=people_dev.coords[i],
-                part_score=people_dev.part_score[i],
-                score=people_dev.score[i], valid=people_dev.valid[i],
-                truncated=people_dev.truncated[i])
+                coords=people_host.coords[i],
+                part_score=people_host.part_score[i],
+                score=people_host.score[i], valid=people_host.valid[i],
+                truncated=people_host.truncated[i])
             out.append(people_to_numpy(sub, w_up, h_up))
-        return out, list(metas)
+        return out, metas
 
     def _prep_scales(self, image_bgr, scales):
         base_im, meta = self._prep(image_bgr)
@@ -279,9 +301,10 @@ class PosePipeline:
         people_dev, heat_avg, paf_avg = fn(
             self.params, *(jnp.asarray(im) for im in ims))
         h_up, w_up = bh * self.downsample, bw * self.downsample
+        people_host = jax.device_get(people_dev)
         meta["upsampled"] = (h_up, w_up)
-        meta["truncated"] = bool(np.asarray(people_dev.truncated))
-        people = people_to_numpy(people_dev, w_up, h_up)
+        meta["truncated"] = bool(people_host.truncated)
+        people = people_to_numpy(people_host, w_up, h_up)
         return people, np.asarray(heat_avg), np.asarray(paf_avg), meta
 
     def run_multiscale_host(self, image_bgr: np.ndarray,
