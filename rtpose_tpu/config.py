@@ -24,6 +24,10 @@ class ModelConfig:
     num_stages: int = 6            # refinement stages for the CPM-style heads
     dtype: str = "bfloat16"        # compute dtype on TPU ("float32" for parity tests)
     param_dtype: str = "float32"
+    init_scheme: str = "reference"  # "reference" = N(0,.01) (pairs with a
+                                    # pretrained trunk, rtpose_vgg.py:200-206);
+                                    # "scratch" = He re-init for from-scratch
+                                    # training (models.common.he_reinit)
 
 
 @dataclass
@@ -54,6 +58,8 @@ class TrainConfig:
     lr_factor: float = 0.8         # ReduceLROnPlateau (reference train_VGG19.py:332)
     lr_patience: int = 5
     lr_cooldown: int = 3
+    clip_grad_norm: float = 0.0    # >0: optax.clip_by_global_norm before SGD
+                                   # (from-scratch runs; reference has none)
     grad_accum_steps: int = 1      # working version of the reference's unused STRIDE_APPLY
     masked_loss: bool = False      # crowd-region masked MSE (reference train_SH.py:80-126)
     checkpoint_dir: str = "checkpoints"

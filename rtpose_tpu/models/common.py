@@ -62,6 +62,42 @@ def conv_init():
     )
 
 
+def he_reinit(params, seed: int = 0):
+    """Re-draw every conv/dense kernel with He-normal (fan-in, ReLU gain).
+
+    The reference's N(0, 0.01) init (rtpose_vgg.py:200-206) is only ever
+    used together with the ImageNet-pretrained trunk (use_vgg,
+    rtpose_vgg.py:235-251): from scratch, activations decay ~3x per conv
+    through the 10-layer trunk and the network cannot train.  This is the
+    from-scratch alternative (cfg.model.init_scheme = "scratch"): hidden
+    kernels get std = sqrt(2 / fan_in); the per-stage output heads (module
+    name "out") KEEP the reference N(0, 0.01) so initial predictions sit
+    near the background target and the MSE loss starts small (He-init
+    heads start at loss ~10 and blow up at the reference lr).  Biases and
+    non-kernel leaves (e.g. BN scales) are left as initialized.
+    Params-level transform so every model family gets it without touching
+    module code.
+    """
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, max(len(flat), 1))
+    out = []
+    for k, (path, leaf) in zip(keys, flat):
+        names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        name = names[-1]
+        if "out" in names[:-1]:
+            out.append(leaf)
+            continue
+        if name == "kernel" and hasattr(leaf, "ndim") and leaf.ndim >= 2:
+            fan_in = 1
+            for d in leaf.shape[:-1]:
+                fan_in *= d
+            std = (2.0 / fan_in) ** 0.5
+            leaf = std * jax.random.normal(k, leaf.shape, leaf.dtype)
+        out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 class ConvReLU(nn.Module):
     features: int
     kernel: int = 3

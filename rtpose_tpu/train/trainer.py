@@ -50,6 +50,12 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     # lr folded in manually (state.lr) so plateau updates don't recompile
     tx = optax.sgd(learning_rate=1.0, momentum=cfg.train.momentum,
                    nesterov=cfg.train.nesterov)
+    if cfg.train.clip_grad_norm > 0:
+        # from-scratch training protection: one finite-but-huge step blows
+        # params past the non-finite guard below (which can only skip
+        # already-inf losses); global-norm clipping caps it at the source
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.train.clip_grad_norm), tx)
     if cfg.train.grad_accum_steps > 1:
         # working version of the reference's unused TRAIN.STRIDE_APPLY
         # (lib/config/default.py:96): apply every k-th microbatch
@@ -153,6 +159,9 @@ class Trainer:
             params = self.model.init(
                 jax.random.PRNGKey(cfg.train.seed),
                 jnp.zeros((1, size, size, 3), jnp.float32))
+            if cfg.model.init_scheme == "scratch":
+                from ..models.common import he_reinit
+                params = he_reinit(params, seed=cfg.train.seed)
         # split variables: trainable params vs model state (batch_stats)
         if "params" in params:
             model_state = {k: v for k, v in params.items() if k != "params"}

@@ -1,0 +1,191 @@
+"""Close the full train->eval chain on hardware (no COCO in the image).
+
+Trains the real Trainer on synthetic learnable skeleton scenes (same
+renderer as hw_train_synth.py), then evaluates the TRAINED MODEL'S OWN
+PREDICTIONS — not oracle GT maps — through the production serving
+pipeline + COCO eval harness (evalx/harness.run_eval_batched) on a
+held-out set rendered from the same distribution, and reports OKS mAP.
+
+This is the whole reference workflow (train_VGG19.py -> evaluation.py ->
+coco_eval.run_eval -> COCOeval) running end-to-end on TPU: data -> GT
+synthesis -> sharded train step -> checkpoint -> restore -> batched
+bucketed eval -> decode -> OKS.  With real COCO data the only change is
+the annotation file / image dir (and the learned weights).
+
+    python scripts/hw_train_to_eval.py --size 184 --stages 2 \
+        --steps 1200 --out /tmp/train_eval
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+from hw_train_synth import render_scene  # noqa: E402
+
+
+def write_coco_eval_set(out_dir, seed, n_images, size, max_people):
+    """Render a held-out eval set: PNG images + COCO-format keypoint json
+    (17-kp person annotations derived from the rendered 18-part poses via
+    ORDER_COCO — the inverse of evalx.harness.person_to_coco_keypoints)."""
+    import cv2
+
+    from rtpose_tpu.skeleton import ORDER_COCO
+
+    img_dir = os.path.join(out_dir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in range(1, n_images + 1):
+        img, kps = render_scene(rng, size, n_people=1 + rng.randint(max_people))
+        fname = f"synth_{img_id:04d}.png"
+        cv2.imwrite(os.path.join(img_dir, fname), img)
+        images.append({"id": img_id, "file_name": fname,
+                       "height": size, "width": size})
+        for person in kps:
+            if not person[:, 2].any():
+                continue
+            coco_kp = np.zeros((17, 3))
+            for slot, part in enumerate(ORDER_COCO):
+                coco_kp[slot] = (person[part, 0], person[part, 1], 2)
+            xs, ys = coco_kp[:, 0], coco_kp[:, 1]
+            annotations.append({
+                "id": ann_id, "image_id": img_id, "category_id": 1,
+                "keypoints": [float(v) for v in coco_kp.reshape(-1)],
+                "num_keypoints": 17, "iscrowd": 0,
+                "area": float((xs.max() - xs.min()) * (ys.max() - ys.min())),
+                "bbox": [float(xs.min()), float(ys.min()),
+                         float(xs.max() - xs.min()),
+                         float(ys.max() - ys.min())],
+            })
+            ann_id += 1
+    ann_file = os.path.join(out_dir, "annotations.json")
+    with open(ann_file, "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": [{"id": 1, "name": "person"}]}, f)
+    return img_dir, ann_file
+
+
+def make_pool(seed, n_batches, batch, size, max_people):
+    """Device-shaped training batches with the SAME normalization the
+    serving pipeline applies (preprocess mode 'vgg'), so train-time and
+    eval-time pixel statistics match exactly."""
+    from rtpose_tpu.infer.preprocess import vgg_preprocess
+
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n_batches):
+        imgs = np.zeros((batch, size, size, 3), np.float32)
+        kps = np.zeros((batch, 32, 18, 3), np.float32)
+        for i in range(batch):
+            img, kp = render_scene(rng, size,
+                                   n_people=1 + rng.randint(max_people))
+            imgs[i] = vgg_preprocess(img)
+            kps[i] = kp
+        out.append({"image": imgs, "keypoints": kps})
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=48)
+    ap.add_argument("--size", type=int, default=184)
+    ap.add_argument("--stages", type=int, default=2)
+    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--pool-batches", type=int, default=16)
+    ap.add_argument("--eval-images", type=int, default=64)
+    ap.add_argument("--max-people", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=0.1)
+    ap.add_argument("--clip", type=float, default=1.0)
+    ap.add_argument("--lr-drop-at", type=float, default=0.5,
+                    help="fraction of steps after which lr is cut 10x "
+                         "(simple two-phase schedule for the overfit run)")
+    ap.add_argument("--thresh-heatmap", type=float, default=0.1)
+    ap.add_argument("--out", default="/tmp/train_eval")
+    args = ap.parse_args()
+
+    import jax
+
+    from rtpose_tpu.config import Config
+    from rtpose_tpu.evalx.harness import run_eval_batched
+    from rtpose_tpu.infer.pipeline import PosePipeline
+    from rtpose_tpu.parallel import mesh as pmesh
+    from rtpose_tpu.train.checkpoint import CheckpointManager
+    from rtpose_tpu.train.trainer import Trainer
+
+    os.makedirs(args.out, exist_ok=True)
+
+    cfg = Config()
+    cfg.model.num_stages = args.stages
+    cfg.model.dtype = "bfloat16"
+    cfg.dataset.image_size = args.size
+    cfg.train.lr = args.lr
+    cfg.train.clip_grad_norm = args.clip
+    cfg.model.init_scheme = "scratch"  # no pretrained trunk in the image
+    cfg.train.freeze_base_epochs = 0   # random init: nothing to protect
+    cfg.train.checkpoint_every_steps = 0
+    cfg.train.print_freq = 100
+    cfg.train.checkpoint_dir = args.out
+
+    print("rendering train pool + eval set...", flush=True)
+    pool = make_pool(0, args.pool_batches, args.batch, args.size,
+                     args.max_people)
+    img_dir, ann_file = write_coco_eval_set(
+        args.out, seed=999, n_images=args.eval_images, size=args.size,
+        max_people=args.max_people)
+
+    tr = Trainer(cfg)
+    sh = pmesh.batch_sharding(tr.mesh)
+    pool = [{k: jax.device_put(v, sh) for k, v in b.items()} for b in pool]
+
+    t0 = time.time()
+    drop_step = int(args.steps * args.lr_drop_at)
+    import jax.numpy as jnp
+    for step in range(args.steps):
+        if step == drop_step:
+            tr.state = tr.state.replace(
+                lr=jnp.asarray(args.lr * 0.1, jnp.float32))
+        batch = pool[step % len(pool)]
+        tr.state, logs = tr.train_step(tr.state, batch["image"],
+                                       batch["keypoints"], None)
+        if step % 100 == 0 or step == args.steps - 1:
+            loss = float(np.asarray(logs["loss"]))
+            print(f"step {step}: loss {loss:.5f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    mgr = CheckpointManager(args.out, keep=1)
+    mgr.save(tr.state, step=args.steps, is_best=True,
+             meta={"epoch": 1, "val_loss": loss})
+
+    # Serving pipeline straight from the trained state — the same model
+    # instance + variables layout load_pipeline() builds from a checkpoint.
+    variables = {"params": tr.state.params}
+    variables.update(tr.state.model_state or {})
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    pipe = PosePipeline(tr.model, variables, input_size=args.size,
+                        preprocess_mode="vgg", flip=True,
+                        thresh_heatmap=args.thresh_heatmap)
+
+    print("running the COCO eval harness on the held-out set...", flush=True)
+    stats = run_eval_batched(
+        img_dir, ann_file, pipe, batch_size=16,
+        results_path=os.path.join(args.out, "results.json"))
+    summary = {"steps": args.steps, "final_train_loss": loss,
+               "eval_images": args.eval_images,
+               "wall_s": round(time.time() - t0, 1),
+               **{k: round(float(v), 4) for k, v in stats.items()}}
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print("SUMMARY", json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
