@@ -100,7 +100,11 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
     shape), decode on device in batch.
 
     For multi-host, shard img_ids with parallel.distributed.host_shard and
-    merge per-host results files.
+    merge per-host results files.  For multi-chip within a host, build the
+    pipeline with PosePipeline(..., mesh=...): batches then shard over the
+    mesh `data` axis and forward + decode run SPMD (the reference's
+    DataParallel only ever covered the forward; its C++ grouping is
+    single-image host code).
     """
     import cv2
 

@@ -55,7 +55,8 @@ def make_infer_fn(model, *, preprocess_mode: str = "vgg",
                   thresh_heatmap: float = 0.1, max_peaks: int = 32,
                   max_people: int = 64, downsample: int = 8,
                   flip: bool = True, decode: bool = True,
-                  max_candidates: int = 256, max_total_conns: int = 160):
+                  max_candidates: int = 256, max_total_conns: int = 160,
+                  sampling: str = "auto"):
     """Build the jitted uint8-image->People function.
 
     Returned fn: (params, image_hwc_uint8) -> (People | None, heat, paf).
@@ -84,7 +85,7 @@ def make_infer_fn(model, *, preprocess_mode: str = "vgg",
                 heat_avg, paf_avg, factor=downsample,
                 thresh_heatmap=thresh_heatmap, max_peaks=max_peaks,
                 max_people=max_people, max_candidates=max_candidates,
-                max_total_conns=max_total_conns)
+                max_total_conns=max_total_conns, sampling=sampling)
         return people, heat_avg, paf_avg
 
     return infer
@@ -149,8 +150,21 @@ class PosePipeline:
                  downsample: int = 8, preprocess_mode: str = "vgg",
                  flip: bool = True, thresh_heatmap: float = 0.1,
                  max_peaks: int = 32, max_people: int = 64,
-                 max_candidates: int = 256, max_total_conns: int = 160):
+                 max_candidates: int = 256, max_total_conns: int = 160,
+                 mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a `data` axis — batched
+        serving/eval (`run_batch*`) then shards frames across chips and
+        XLA runs forward + decode data-parallel (the serving analogue of
+        the trainer's DataParallel replacement, SURVEY.md §2.3; the
+        reference can only DataParallel the forward, its C++ grouping is
+        single-image host code).  Single-image `run` stays single-device.
+        On sharded meshes the decode uses the XLA one-hot sampler
+        (pallas_call has no GSPMD partitioning rule)."""
         self.model = model
+        self.mesh = mesh
+        if mesh is not None and mesh.size > 1:
+            from ..parallel import mesh as pmesh
+            params = pmesh.replicate(mesh, params)
         self.params = params
         self.input_size = input_size
         self.downsample = downsample
@@ -224,13 +238,32 @@ class PosePipeline:
             results = [self.run(im) for im in images_bgr]
             return ("eager", [r[0] for r in results],
                     [r[3] for r in results])
-        batch = jnp.asarray(np.stack(ims))
+        stacked = np.stack(ims)
+        sharded = self.mesh is not None and self.mesh.size > 1
+        if sharded:
+            # pad to a multiple of the data axis; collect slices by metas,
+            # so the pad frames are computed and discarded
+            n_data = self.mesh.shape["data"]
+            pad = -len(ims) % n_data
+            if pad:
+                stacked = np.concatenate(
+                    [stacked, np.repeat(stacked[-1:], pad, axis=0)])
+        batch = jnp.asarray(stacked)
         if not hasattr(self, "_infer_batch"):
-            single = make_infer_fn(self.model, flip=self.flip,
-                                   **self._infer_kwargs)
-            self._infer_batch = jax.jit(
-                lambda p, b: jax.vmap(
-                    lambda im: single.__wrapped__(p, im))(b))
+            single = make_infer_fn(
+                self.model, flip=self.flip,
+                sampling="onehot" if sharded else "auto",
+                **self._infer_kwargs)
+            fn = lambda p, b: jax.vmap(  # noqa: E731
+                lambda im: single.__wrapped__(p, im))(b)
+            if sharded:
+                from ..parallel import mesh as pmesh
+                data_sh = pmesh.batch_sharding(self.mesh)
+                self._infer_batch = jax.jit(
+                    fn, in_shardings=(pmesh.replicated(self.mesh), data_sh),
+                    out_shardings=data_sh)
+            else:
+                self._infer_batch = jax.jit(fn)
         people_dev, heat, _paf = self._infer_batch(self.params, batch)
         return ("async", people_dev, heat, list(metas))
 
