@@ -9,7 +9,7 @@ from __future__ import annotations
 import argparse
 
 
-def build_pipeline(args):
+def build_pipeline(args, mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -28,7 +28,8 @@ def build_pipeline(args):
             jnp.asarray, import_rtpose_state_dict(sd, params))
         print(f"loaded weights from {args.weight}")
     return PosePipeline(model, params, input_size=args.input_size,
-                        preprocess_mode=args.preprocess, flip=args.flip)
+                        preprocess_mode=args.preprocess, flip=args.flip,
+                        mesh=mesh)
 
 
 def add_common_args(parser):

@@ -19,6 +19,14 @@ def main():
     parser.add_argument("--model", default="vgg19")
     parser.add_argument("--preprocess", default="vgg")
     parser.add_argument("--input-size", type=int, default=368)
+    parser.add_argument("--stages", type=int, default=6,
+                        help="refinement stages / stacks")
+    parser.add_argument("--batch", type=int, default=0,
+                        help=">0: batched bucketed eval "
+                             "(harness.run_eval_batched)")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard eval batches over all local devices "
+                             "(PosePipeline mesh serving); implies --batch")
     parser.add_argument("--flip", action="store_true", default=True)
     parser.add_argument("--no-flip", dest="flip", action="store_false")
     parser.add_argument("--limit", type=int, default=None)
@@ -28,13 +36,25 @@ def main():
     parser.add_argument("--fp32", action="store_true")
     args = parser.parse_args()
 
-    from ..demo.picture_demo import build_pipeline
-    pipe = build_pipeline(args)
+    mesh = None
+    if args.data_parallel:
+        from ..parallel import mesh as pmesh
+        mesh = pmesh.make_mesh()
+        args.batch = args.batch or 4 * mesh.shape["data"]
 
-    from .harness import run_eval
-    stats = run_eval(args.image_dir, args.ann, pipe,
-                     vis_dir=args.vis_dir, limit=args.limit,
-                     results_path=args.results)
+    from ..demo.picture_demo import build_pipeline
+    pipe = build_pipeline(args, mesh=mesh)
+
+    if args.batch:
+        from .harness import run_eval_batched
+        stats = run_eval_batched(args.image_dir, args.ann, pipe,
+                                 batch_size=args.batch, limit=args.limit,
+                                 results_path=args.results)
+    else:
+        from .harness import run_eval
+        stats = run_eval(args.image_dir, args.ann, pipe,
+                         vis_dir=args.vis_dir, limit=args.limit,
+                         results_path=args.results)
     print(json.dumps(stats, indent=2))
     print(f"mAP (OKS .50:.95) = {stats['AP']:.4f}")
 

@@ -1,0 +1,67 @@
+"""End-to-end run of the eval CLI (reference evaluate/evaluation.py).
+
+Regression: `python -m rtpose_tpu.evalx` crashed with AttributeError
+('Namespace' has no 'stages') because the CLI parser lacked the arg
+build_pipeline reads — no test ever drove main().  Runs the real
+entrypoint on a tiny fixture, plus the --data-parallel mesh path on the
+virtual 8-device CPU mesh.
+"""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fixture_set(tmp_path_factory):
+    import cv2
+    root = tmp_path_factory.mktemp("evalx_cli")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    for img_id in (1, 2):
+        img = (rng.rand(64, 48, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"im{img_id}.png"), img)
+        images.append({"id": img_id, "file_name": f"im{img_id}.png",
+                       "height": 64, "width": 48})
+        kp = np.zeros((17, 3))
+        kp[:, 0] = rng.rand(17) * 40 + 4
+        kp[:, 1] = rng.rand(17) * 56 + 4
+        kp[:, 2] = 2
+        annotations.append({
+            "id": img_id, "image_id": img_id, "category_id": 1,
+            "keypoints": [float(v) for v in kp.reshape(-1)],
+            "num_keypoints": 17, "iscrowd": 0, "area": 500.0,
+            "bbox": [4.0, 4.0, 40.0, 56.0]})
+    ann = root / "ann.json"
+    ann.write_text(json.dumps(
+        {"images": images, "annotations": annotations,
+         "categories": [{"id": 1, "name": "person"}]}))
+    return str(img_dir), str(ann)
+
+
+def _run_cli(argv, monkeypatch, capsys):
+    from rtpose_tpu.evalx.__main__ import main
+    monkeypatch.setattr(sys, "argv", ["evalx"] + argv)
+    main()
+    out = capsys.readouterr().out
+    assert "mAP (OKS .50:.95)" in out
+    return out
+
+
+def test_evalx_cli_per_image(fixture_set, monkeypatch, capsys):
+    img_dir, ann = fixture_set
+    _run_cli(["--image-dir", img_dir, "--ann", ann, "--stages", "1",
+              "--input-size", "56", "--fp32", "--no-flip"],
+             monkeypatch, capsys)
+
+
+def test_evalx_cli_batched_data_parallel(fixture_set, monkeypatch, capsys):
+    img_dir, ann = fixture_set
+    _run_cli(["--image-dir", img_dir, "--ann", ann, "--stages", "1",
+              "--input-size", "56", "--fp32", "--no-flip",
+              "--data-parallel"],
+             monkeypatch, capsys)
