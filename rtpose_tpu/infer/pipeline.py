@@ -105,8 +105,9 @@ def load_pipeline(checkpoint_dir: str = None, *, torch_weights: str = None,
 
     dtype = dtype or jnp.bfloat16
     model = get_model(model_name, num_stages=num_stages, dtype=dtype)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, input_size, input_size, 3)))
+    if not checkpoint_dir or torch_weights:
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, input_size, input_size, 3)))
     if torch_weights:
         from ..models.import_torch import (import_rtpose_state_dict,
                                            load_torch_checkpoint)
@@ -114,24 +115,14 @@ def load_pipeline(checkpoint_dir: str = None, *, torch_weights: str = None,
         params = jax.tree_util.tree_map(
             jnp.asarray, import_rtpose_state_dict(sd, params))
     elif checkpoint_dir:
-        from ..config import Config
+        # params-only restore: no Trainer construction (which would both
+        # compile a throwaway model.init and need the training-time
+        # optimizer config to rebuild the opt_state pytree)
         from ..train.checkpoint import CheckpointManager
-        from ..train.trainer import Trainer
-        cfg = Config()
-        cfg.model.name = model_name
-        cfg.model.num_stages = num_stages
-        cfg.model.dtype = "bfloat16" if dtype == jnp.bfloat16 \
-            else "float32"
-        cfg.dataset.image_size = input_size
-        trainer = Trainer(cfg)
-        restored = CheckpointManager(checkpoint_dir).restore_best(
-            trainer.state)
-        if restored is None:
-            raise FileNotFoundError(
-                f"no checkpoints under {checkpoint_dir}")
-        state, _meta = restored
-        variables = {"params": state.params}
-        variables.update(state.model_state or {})
+        ckpt_params, model_state, _meta = CheckpointManager(
+            checkpoint_dir).restore_params()
+        variables = {"params": ckpt_params}
+        variables.update(model_state)
         params = jax.tree_util.tree_map(jnp.asarray, variables)
     return PosePipeline(model, params, input_size=input_size,
                         preprocess_mode=preprocess_mode, flip=flip,

@@ -92,6 +92,30 @@ class CheckpointManager:
             meta = json.load(f)
         return state, meta
 
+    def restore_params(self, step: Optional[int] = None
+                       ) -> Tuple[Any, Any, Dict[str, Any]]:
+        """Serving-side restore: (params, model_state, meta) only.
+
+        Template-free (raw orbax tree), so it works regardless of the
+        optimizer the checkpoint was trained with — a plain-SGD serving
+        process can load a clip_grad_norm/MultiSteps checkpoint whose
+        opt_state pytree it could never reconstruct.  Orbax backend only.
+        """
+        if self._ckptr is None:
+            raise RuntimeError("restore_params needs the orbax backend")
+        if step is None:
+            step = self.best_step()
+        if step is None:
+            steps = self._steps()
+            if not steps:
+                raise FileNotFoundError(
+                    f"no checkpoints under {self.directory}")
+            step = steps[-1]
+        raw = self._ckptr.restore(self._path(step))
+        with open(self._path(step) + ".meta.json") as f:
+            meta = json.load(f)
+        return raw["params"], raw.get("model_state") or {}, meta
+
     def restore_latest(self, template):
         steps = self._steps()
         if not steps:

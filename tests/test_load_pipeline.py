@@ -56,26 +56,24 @@ def test_load_pipeline_from_checkpoint(tmp_path):
     cfg.dataset.image_size = 64
     cfg.train.freeze_base_epochs = 0
     cfg.train.print_freq = 100
+    # regression: a clip_grad_norm checkpoint has an optax.chain opt_state
+    # pytree that a default-config serving process cannot reconstruct;
+    # load_pipeline must restore params-only (template-free), not rebuild
+    # a Trainer
+    cfg.train.clip_grad_norm = 1.0
     tr = Trainer(cfg)
     mgr = CheckpointManager(str(tmp_path))
     mgr.save(tr.state, step=1, is_best=True, meta={"epoch": 1})
 
-    # loading requires a Trainer with the same architecture settings; the
-    # helper rebuilds from defaults, so mirror the tiny config here
-    import rtpose_tpu.infer.pipeline as pl_mod
-
-    pipe = None
-    # patch: the helper builds its own trainer with default num_stages=6,
-    # which would not match — construct directly instead
-    from rtpose_tpu.models import get_model
-    model = get_model("vgg19", num_stages=1, dtype=jnp.float32)
-    restored = mgr.restore_best(tr.state)
-    assert restored is not None
-    state, meta = restored
-    assert meta["epoch"] == 1
-    params = jax.tree_util.tree_map(jnp.asarray,
-                                    {"params": state.params})
-    pipe = pl_mod.PosePipeline(model, params, input_size=56, flip=False)
+    pipe = load_pipeline(str(tmp_path), num_stages=1, input_size=56,
+                         flip=False, dtype=jnp.float32)
     img = (np.random.RandomState(0).rand(70, 60, 3) * 255).astype(np.uint8)
     people, heat, _paf, _meta = pipe.run(img)
     assert heat.shape[-1] == 19
+
+    # the loaded params must be the trained ones, not a fresh init
+    saved = np.asarray(
+        jax.tree_util.tree_leaves(tr.state.params)[0])
+    loaded = np.asarray(
+        jax.tree_util.tree_leaves(pipe.params["params"])[0])
+    np.testing.assert_array_equal(saved, loaded)
