@@ -233,11 +233,17 @@ def greedy_connections(scores: jax.Array, valid: jax.Array,
         used_a, used_b, n_acc = state
         ia = top_ia[:, c]
         ib = top_ib[:, c]
+        # one-hot membership instead of take_along_axis: per-iteration
+        # dynamic indexing in a scan body lowers to gathers (TPU-hostile,
+        # same lesson as the PAF sampler); the one-hots are reused for the
+        # update below
+        oh_a = jax.nn.one_hot(ia, K, dtype=bool)
+        oh_b = jax.nn.one_hot(ib, K, dtype=bool)
         ok = (top_valid[:, c]
-              & ~jnp.take_along_axis(used_a, ia[:, None], 1)[:, 0]
-              & ~jnp.take_along_axis(used_b, ib[:, None], 1)[:, 0])
-        used_a = used_a | (jax.nn.one_hot(ia, K, dtype=bool) & ok[:, None])
-        used_b = used_b | (jax.nn.one_hot(ib, K, dtype=bool) & ok[:, None])
+              & ~jnp.any(used_a & oh_a, axis=1)
+              & ~jnp.any(used_b & oh_b, axis=1))
+        used_a = used_a | (oh_a & ok[:, None])
+        used_b = used_b | (oh_b & ok[:, None])
         slot = jnp.where(ok, n_acc, K)  # K = overflow (dropped)
         n_acc = n_acc + ok.astype(jnp.int32)
         return (used_a, used_b, n_acc), (ok, slot)
@@ -311,23 +317,38 @@ def assemble_people(conn_ia, conn_ib, conn_score, conn_valid,
     subset0 = jnp.full((Pp, 20), -1.0, jnp.float32)
     subset0 = subset0.at[:, 19].set(0.0)   # count 0 == dead row
 
+    iota_col = jnp.arange(20)              # (20,) subset columns
+    iota_row = jnp.arange(Pp)              # (Pp,) subset rows
+    col18 = (iota_col == 18).astype(jnp.float32)
+    col19 = (iota_col == 19).astype(jnp.float32)
+    body_cols = (iota_col < NUM_PARTS).astype(jnp.float32)
+    dead = jnp.full((20,), -1.0).at[19].set(0.0)
+
     def step(state, inp):
+        # Per-iteration dynamic indexing (take / at[s].set / row select by
+        # traced index) lowers to gathers + dynamic-update-slices inside
+        # the scan body — TPU-hostile (same lesson as the PAF sampler and
+        # sub-pixel refine); everything here is one-hot masks + selects:
+        # measured: full decode 0.80 -> 0.57 ms/img (v5e, batch 64).
         subset, next_slot, dropped = state
         pair, k1, k2, s1p, s2p, cscore, cvalid = inp
         p1 = part_a[jnp.minimum(pair, NUM_GROUP_PAIRS - 1)]
         p2 = part_b[jnp.minimum(pair, NUM_GROUP_PAIRS - 1)]
+        oh_p1 = (iota_col == p1).astype(jnp.float32)     # (20,)
+        oh_p2 = (iota_col == p2).astype(jnp.float32)
         alive = subset[:, 19] > 0
-        col1 = jnp.take(subset, p1, axis=1)
-        col2 = jnp.take(subset, p2, axis=1)
+        col1 = jnp.sum(subset * oh_p1, axis=1)           # (Pp,)
+        col2 = jnp.sum(subset * oh_p2, axis=1)
         match = alive & ((col1 == k1) | (col2 == k2))
         found = jnp.sum(match.astype(jnp.int32))
-        idxs = jnp.arange(Pp)
         s1 = jnp.argmax(match)
-        match2 = match & (idxs != s1)
+        match2 = match & (iota_row != s1)
         s2 = jnp.argmax(match2)
+        oh_s1 = (iota_row == s1).astype(jnp.float32)     # (Pp,)
+        oh_s2 = (iota_row == s2).astype(jnp.float32)
 
-        r1 = subset[s1]
-        r2 = subset[s2]
+        r1 = jnp.sum(subset * oh_s1[:, None], axis=0)    # (20,)
+        r2 = jnp.sum(subset * oh_s2[:, None], axis=0)
         membership = jnp.any((r1[:NUM_PARTS] > 0) & (r2[:NUM_PARTS] > 0))
 
         is_seed = pair < NUM_SEED_PAIRS
@@ -339,35 +360,36 @@ def assemble_people(conn_ia, conn_ib, conn_score, conn_valid,
         b_ext2 = cvalid & (found == 2) & membership
         b_merge = cvalid & (found == 2) & ~membership
 
-        # --- new row
-        new_row = jnp.full((20,), -1.0).at[p1].set(k1).at[p2].set(k2)
-        new_row = new_row.at[19].set(2.0).at[18].set(s1p + s2p + cscore)
-        subset_new = jnp.where(
-            b_new,
-            subset.at[jnp.minimum(next_slot, Pp - 1)].set(new_row),
-            subset)
+        # --- new row into slot next_slot
+        oh_new = (iota_row == jnp.minimum(next_slot, Pp - 1)
+                  ).astype(jnp.float32)
+        new_row = (-1.0 * (1 - oh_p1 - oh_p2 - col18 - col19)
+                   + k1 * oh_p1 + k2 * oh_p2
+                   + 2.0 * col19 + (s1p + s2p + cscore) * col18)
+        w_new = jnp.where(b_new, oh_new, 0.0)[:, None]
+        subset = subset * (1 - w_new) + w_new * new_row[None, :]
 
         # --- extend row s1 (guarded when found==1; unconditional when
         # found==2 with membership, matching pafprocess.cpp:146-151,168-172)
-        do_set = b_ext2 | (b_ext1 & (r1[p2] != k2))
-        ext_row = r1.at[p2].set(k2)
-        ext_row = ext_row.at[19].add(1.0).at[18].add(s2p + cscore)
-        subset_ext = jnp.where(do_set, subset_new.at[s1].set(ext_row),
-                               subset_new)
+        r1_p2 = jnp.sum(r1 * oh_p2)
+        do_set = b_ext2 | (b_ext1 & (r1_p2 != k2))
+        ext_row = (r1 * (1 - oh_p2) + k2 * oh_p2
+                   + 1.0 * col19 + (s2p + cscore) * col18)
+        w_ext = jnp.where(do_set, oh_s1, 0.0)[:, None]
+        subset = subset * (1 - w_ext) + w_ext * ext_row[None, :]
 
         # --- merge rows s1 <- s2, kill s2
-        merged = r1.at[:NUM_PARTS].add(r2[:NUM_PARTS] + 1.0)
-        merged = merged.at[19].add(r2[19]).at[18].add(r2[18] + cscore)
-        dead = jnp.full((20,), -1.0).at[19].set(0.0)
-        subset_mrg = subset_ext.at[s1].set(
-            jnp.where(b_merge, merged, subset_ext[s1]))
-        subset_mrg = subset_mrg.at[s2].set(
-            jnp.where(b_merge, dead, subset_mrg[s2]))
+        merged = (r1 + (r2 + 1.0) * body_cols
+                  + r2[19] * col19 + (r2[18] + cscore) * col18)
+        w_mrg = jnp.where(b_merge, oh_s1, 0.0)[:, None]
+        subset = subset * (1 - w_mrg) + w_mrg * merged[None, :]
+        w_kill = jnp.where(b_merge, oh_s2, 0.0)[:, None]
+        subset = subset * (1 - w_kill) + w_kill * dead[None, :]
 
         next_slot = next_slot + b_new.astype(jnp.int32)
         # a seed connection that needed a new person but found no free row
         dropped = dropped | (cvalid & (found == 0) & is_seed & ~can_new)
-        return (subset_mrg, next_slot, dropped), None
+        return (subset, next_slot, dropped), None
 
     inputs = (c_pair, c_cid1, c_cid2, c_ps1, c_ps2, c_score, c_valid)
     (subset, _, people_overflow), _ = jax.lax.scan(
