@@ -56,7 +56,7 @@ def make_infer_fn(model, *, preprocess_mode: str = "vgg",
                   max_people: int = 64, downsample: int = 8,
                   flip: bool = True, decode: bool = True,
                   max_candidates: int = 256, max_total_conns: int = 160,
-                  sampling: str = "auto"):
+                  sampling: str = "auto", gaussian_filt: bool = False):
     """Build the jitted uint8-image->People function.
 
     Returned fn: (params, image_hwc_uint8) -> (People | None, heat, paf).
@@ -85,7 +85,8 @@ def make_infer_fn(model, *, preprocess_mode: str = "vgg",
                 heat_avg, paf_avg, factor=downsample,
                 thresh_heatmap=thresh_heatmap, max_peaks=max_peaks,
                 max_people=max_people, max_candidates=max_candidates,
-                max_total_conns=max_total_conns, sampling=sampling)
+                max_total_conns=max_total_conns, sampling=sampling,
+                gaussian_filt=gaussian_filt)
         return people, heat_avg, paf_avg
 
     return infer
@@ -142,7 +143,7 @@ class PosePipeline:
                  flip: bool = True, thresh_heatmap: float = 0.1,
                  max_peaks: int = 32, max_people: int = 64,
                  max_candidates: int = 256, max_total_conns: int = 160,
-                 mesh=None):
+                 mesh=None, gaussian_filt: bool = False):
         """`mesh`: optional jax.sharding.Mesh with a `data` axis — batched
         serving/eval (`run_batch*`) then shards frames across chips and
         XLA runs forward + decode data-parallel (the serving analogue of
@@ -165,7 +166,8 @@ class PosePipeline:
                       thresh_heatmap=thresh_heatmap, max_peaks=max_peaks,
                       max_people=max_people, downsample=downsample,
                       max_candidates=max_candidates,
-                      max_total_conns=max_total_conns)
+                      max_total_conns=max_total_conns,
+                      gaussian_filt=gaussian_filt)
         self._infer_kwargs = kwargs
         self._infer = make_infer_fn(model, flip=flip, **kwargs)
         self._infer_maps = make_infer_fn(model, flip=flip, decode=False,

@@ -20,13 +20,14 @@ from .peaks import nms
 
 @functools.partial(jax.jit, static_argnames=(
     "factor", "thresh_heatmap", "max_peaks", "max_people", "refine",
-    "max_candidates", "max_total_conns", "sampling"))
+    "max_candidates", "max_total_conns", "sampling", "gaussian_filt"))
 def decode_poses(heatmaps: jax.Array, pafs: jax.Array, *, factor: int = 8,
                  thresh_heatmap: float = 0.1, max_peaks: int = 32,
                  max_people: int = 64, refine: bool = True,
                  max_candidates: int = 256,
                  max_total_conns: int = 160,
-                 sampling: str = "auto") -> People:
+                 sampling: str = "auto",
+                 gaussian_filt: bool = False) -> People:
     """Decode one image's low-res maps into fixed-shape people.
 
     heatmaps: (H, W, 19), pafs: (H, W, 38), both float32.  All fixed-shape
@@ -34,7 +35,8 @@ def decode_poses(heatmaps: jax.Array, pafs: jax.Array, *, factor: int = 8,
     scene overflowed any of them (raise the cap and re-run).
     """
     peaks = nms(heatmaps, factor=factor, thresh=thresh_heatmap,
-                max_peaks=max_peaks, refine=refine)
+                max_peaks=max_peaks, refine=refine,
+                gaussian_filt=gaussian_filt)
     return group_peaks_device(peaks, pafs, factor=factor,
                               max_people=max_people,
                               max_candidates=max_candidates,
@@ -44,19 +46,21 @@ def decode_poses(heatmaps: jax.Array, pafs: jax.Array, *, factor: int = 8,
 
 @functools.partial(jax.jit, static_argnames=(
     "factor", "thresh_heatmap", "max_peaks", "max_people", "refine",
-    "max_candidates", "max_total_conns"))
+    "max_candidates", "max_total_conns", "gaussian_filt"))
 def decode_poses_batch(heatmaps: jax.Array, pafs: jax.Array, *,
                        factor: int = 8, thresh_heatmap: float = 0.1,
                        max_peaks: int = 32, max_people: int = 64,
                        refine: bool = True, max_candidates: int = 256,
-                       max_total_conns: int = 160) -> People:
+                       max_total_conns: int = 160,
+                       gaussian_filt: bool = False) -> People:
     """Batched decode: (B, H, W, 19) + (B, H, W, 38) -> People with leading
     batch axis on every field."""
     fn = functools.partial(decode_poses.__wrapped__, factor=factor,
                            thresh_heatmap=thresh_heatmap,
                            max_peaks=max_peaks, max_people=max_people,
                            refine=refine, max_candidates=max_candidates,
-                           max_total_conns=max_total_conns)
+                           max_total_conns=max_total_conns,
+                           gaussian_filt=gaussian_filt)
     return jax.vmap(fn)(heatmaps, pafs)
 
 

@@ -96,6 +96,37 @@ def _interp_matrices(factor: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _blur_matrices(factor: int, sigma: float = 3.0,
+                   truncate: float = 4.0) -> np.ndarray:
+    """(3, PATCH*factor, PATCH*factor) separable-Gaussian blur matrices.
+
+    B[p] acts on an upsampled patch of extent n = (p+3)*factor exactly like
+    scipy.ndimage.gaussian_filter(..., sigma, mode='reflect') along one
+    axis (the reference's optional NMS smoothing, paf_to_pose.py:121-122,
+    default-off upstream).  The blur is linear, so the matrix IS the
+    operator: kernel w_i ~ exp(-i^2/(2 sigma^2)) normalized, radius
+    int(truncate*sigma + 0.5), indices reflected at the true patch
+    boundary (d c b a | a b c d | d c b a).  Rows/cols >= n are zeroed so
+    the padded invalid region neither leaks in nor out.
+    """
+    r = int(truncate * sigma + 0.5)
+    k = np.arange(-r, r + 1, dtype=np.float64)
+    w = np.exp(-0.5 * (k / sigma) ** 2)
+    w /= w.sum()
+    size = _PATCH * factor
+    out = np.zeros((3, size, size), dtype=np.float32)
+    for p, e in enumerate((3, 4, 5)):
+        n = e * factor
+        idx = np.arange(n)[:, None] + k[None, :].astype(np.int64)  # (n, 2r+1)
+        # scipy 'reflect' (a a b c | period-2n sawtooth): -1 -> 0, n -> n-1
+        idx = np.mod(idx, 2 * n)
+        idx = np.where(idx >= n, 2 * n - 1 - idx, idx)
+        for j in range(2 * r + 1):
+            np.add.at(out[p], (np.arange(n), idx[:, j]), w[j])
+    return out
+
+
 def find_peak_mask(heat: jax.Array, thresh: float) -> jax.Array:
     """4-connected local-max mask (reference paf_to_pose.py:25-38).
 
@@ -171,7 +202,8 @@ def _refine(heat_part: jax.Array, py: jax.Array, px: jax.Array,
 
 
 def _refine_onehot(heat: jax.Array, py: jax.Array, px: jax.Array,
-                   factor: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                   factor: int, gaussian_filt: bool = False
+                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched sub-pixel refinement of all peaks at once, gather-free.
 
     Identical math to :func:`_refine` but reformulated for the TPU: the
@@ -213,6 +245,16 @@ def _refine_onehot(heat: jax.Array, py: jax.Array, px: jax.Array,
     Mx = jnp.einsum("pki,igc->pkgc", xsel, mats, precision=hi)
     up = jnp.einsum("pkfr,pkrc->pkfc", My, patch, precision=hi)
     up = jnp.einsum("pkfc,pkgc->pkfg", up, Mx, precision=hi)
+
+    if gaussian_filt:
+        # optional sigma=3 smoothing of the upsampled patch (reference
+        # paf_to_pose.py:121-122); argmax AND score then come from the
+        # filtered map, like the reference
+        blur = jnp.asarray(_blur_matrices(factor))       # (3, n, n)
+        By = jnp.einsum("pki,ifg->pkfg", ysel, blur, precision=hi)
+        Bx = jnp.einsum("pki,ifg->pkfg", xsel, blur, precision=hi)
+        up = jnp.einsum("pkfr,pkrc->pkfc", By, up, precision=hi)
+        up = jnp.einsum("pkfc,pkgc->pkfg", up, Bx, precision=hi)
 
     n = _PATCH * factor
     iy = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
@@ -275,12 +317,16 @@ def _refine_pallas(heat: jax.Array, py: jax.Array, px: jax.Array,
 
 def nms(heatmaps: jax.Array, *, factor: int = 8, thresh: float = 0.1,
         max_peaks: int = 32, refine: bool = True,
-        use_pallas: bool = False, pallas_interpret: bool = False) -> Peaks:
+        use_pallas: bool = False, pallas_interpret: bool = False,
+        gaussian_filt: bool = False) -> Peaks:
     """Fixed-shape NMS over (H, W, C>=num_parts) heatmaps.
 
     Top-`max_peaks` per part by score (the reference keeps all peaks;
     images essentially never exceed ~20 per part).  `use_pallas` routes
     sub-pixel refinement through the fused pallas kernel.
+    `gaussian_filt` applies the reference's optional sigma=3 smoothing of
+    the upsampled refine patch (paf_to_pose.py:121-122, default off there
+    too); it forces the one-hot refine path.
     """
     heat = jnp.moveaxis(heatmaps[..., :NUM_PARTS], -1, 0)  # (parts, H, W)
     H, W = heat.shape[-2:]
@@ -295,11 +341,12 @@ def nms(heatmaps: jax.Array, *, factor: int = 8, thresh: float = 0.1,
     px = (idx % W).astype(jnp.int32)
     valid = scores0 > thresh
 
-    if refine and use_pallas:
+    if refine and use_pallas and not gaussian_filt:
         xf, yf, score = _refine_pallas(heat, py, px, factor,
                                        pallas_interpret)
     elif refine:
-        xf, yf, score = _refine_onehot(heat, py, px, factor)
+        xf, yf, score = _refine_onehot(heat, py, px, factor,
+                                       gaussian_filt=gaussian_filt)
     else:
         xf = (px + 0.5) * factor - 0.5
         yf = (py + 0.5) * factor - 0.5

@@ -98,3 +98,48 @@ def test_interp_matrix_matches_cv2_resize():
         M = mats[n - 3][:n * 8, :n]
         got = M @ patch @ M.T
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_gaussian_filt_refine_matches_reference_formula():
+    """gaussian_filt=True: sigma=3 smoothing of the upsampled refine patch
+    (reference paf_to_pose.py:106-141 with bool_gaussian_filt=True —
+    default-off upstream and here).  Oracle: cv2 INTER_CUBIC + scipy
+    gaussian_filter, argmax and score from the FILTERED map."""
+    import cv2
+    from scipy.ndimage import gaussian_filter
+
+    _, heat, _ = synth_example(seed=5, n_people=3)
+    H, W, _ = heat.shape
+    f = 8
+    dev = P.nms(jnp.asarray(heat), factor=f, thresh=0.1,
+                gaussian_filt=True)
+    xf = np.asarray(dev.xf)
+    yf = np.asarray(dev.yf)
+    sc = np.asarray(dev.score)
+    v = np.asarray(dev.valid)
+    py = np.asarray(dev.y)  # truncated ints of refined — recompute coarse
+    n_checked = 0
+    host = G.nms(heat, upsamp_factor=1, thresh=0.1)  # coarse peaks, f=1
+    for part, arr in enumerate(host):
+        for hx0, hy0, _s, _ in arr:
+            px0, py0 = int(round(hx0)), int(round(hy0))
+            x_min, y_min = max(0, px0 - 2), max(0, py0 - 2)
+            x_max, y_max = min(W - 1, px0 + 2), min(H - 1, py0 + 2)
+            patch = heat[y_min:y_max + 1, x_min:x_max + 1, part]
+            up = cv2.resize(patch, None, fx=f, fy=f,
+                            interpolation=cv2.INTER_CUBIC)
+            up = gaussian_filter(up, sigma=3)
+            loc = np.unravel_index(up.argmax(), up.shape)       # (y, x)
+            cy = (py0 - y_min + 0.5) * f - 0.5
+            cx = (px0 - x_min + 0.5) * f - 0.5
+            ry = (py0 + 0.5) * f - 0.5 + (loc[0] - cy)
+            rx = (px0 + 0.5) * f - 0.5 + (loc[1] - cx)
+            score = up[loc]
+            cand = [(xf[part, k], yf[part, k], sc[part, k])
+                    for k in range(xf.shape[1]) if v[part, k]]
+            best = min(cand, key=lambda c: abs(c[0] - rx) + abs(c[1] - ry))
+            assert abs(best[0] - rx) < 1e-3, (part, best, rx, ry)
+            assert abs(best[1] - ry) < 1e-3, (part, best, rx, ry)
+            assert abs(best[2] - score) < 1e-4, (part, best, score)
+            n_checked += 1
+    assert n_checked > 10
