@@ -29,7 +29,8 @@ def build_pipeline(args, mesh=None):
         print(f"loaded weights from {args.weight}")
     return PosePipeline(model, params, input_size=args.input_size,
                         preprocess_mode=args.preprocess, flip=args.flip,
-                        mesh=mesh)
+                        mesh=mesh,
+                        gaussian_filt=getattr(args, "gaussian_filt", False))
 
 
 def add_common_args(parser):
@@ -43,6 +44,9 @@ def add_common_args(parser):
                         help="refinement stages / stacks")
     parser.add_argument("--flip", action="store_true",
                         help="left/right flip TTA")
+    parser.add_argument("--gaussian-filt", action="store_true",
+                        help="sigma=3 smoothing of the NMS refine patch "
+                             "(reference bool_gaussian_filt, default off)")
     parser.add_argument("--fp32", action="store_true")
 
 

@@ -27,6 +27,9 @@ def main():
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard eval batches over all local devices "
                              "(PosePipeline mesh serving); implies --batch")
+    parser.add_argument("--gaussian-filt", action="store_true",
+                        help="sigma=3 NMS refine smoothing (reference "
+                             "bool_gaussian_filt, default off)")
     parser.add_argument("--flip", action="store_true", default=True)
     parser.add_argument("--no-flip", dest="flip", action="store_false")
     parser.add_argument("--limit", type=int, default=None)
