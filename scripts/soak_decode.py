@@ -54,6 +54,9 @@ def main():
 
     count_mismatch = 0
     part_mismatch = 0
+    overflow_scenes = []   # truncated=True scenes whose counts differ:
+                           # the documented fixed-cap signal, not a bug —
+                           # verified below by re-decoding at raised caps
     people_total = 0
     t0 = time.perf_counter()
     for start in range(0, len(scenes), args.batch):
@@ -66,14 +69,22 @@ def main():
                         for f in ("coords", "part_score", "score",
                                   "valid", "truncated")]),
             w * 8, h * 8) for i in range(len(chunk))]
+        trunc = np.asarray(dev.truncated)
         for i, (heat, paf) in enumerate(chunk):
             host_people, _ = G.paf_to_people(heat, paf)   # (P, 18, 3)
             dv = dev_np[i]
             people_total += len(host_people)
             if len(dv) != len(host_people):
-                count_mismatch += 1
-                print(f"scene {start + i}: host {len(host_people)} vs "
-                      f"device {len(dv)} people")
+                if bool(trunc[i]):
+                    overflow_scenes.append(
+                        (start + i, heat, paf, len(host_people)))
+                    print(f"scene {start + i}: host {len(host_people)} vs "
+                          f"device {len(dv)} people (truncated=True -> "
+                          f"cap-overflow class, re-checked below)")
+                else:
+                    count_mismatch += 1
+                    print(f"scene {start + i}: host {len(host_people)} vs "
+                          f"device {len(dv)} people")
                 continue
             # match part coords within half an upsampled pixel
             hs = sorted(
@@ -94,12 +105,35 @@ def main():
                     print(f"scene {start + i}: part-level mismatch "
                           f"(near-tie class — see module docstring)")
                     break
+    # Re-decode cap-overflow scenes with raised caps: the truncation
+    # signal's contract is 'raise the cap and re-run' (ops/grouping.py
+    # People docstring) — the counts must then match the unbounded host.
+    overflow_fixed = overflow_unfixed = 0
+    if overflow_scenes:
+        hb = jnp.asarray(np.stack([o[1] for o in overflow_scenes]))
+        pb = jnp.asarray(np.stack([o[2] for o in overflow_scenes]))
+        dev = decode_poses_batch(hb, pb, max_peaks=64, max_candidates=1024,
+                                 max_total_conns=608, max_people=128)
+        for i, (sid, _h, _p, n_host) in enumerate(overflow_scenes):
+            sub = type(dev)(*[np.asarray(getattr(dev, f))[i]
+                              for f in ("coords", "part_score", "score",
+                                        "valid", "truncated")])
+            n_dev = len(people_to_numpy(sub, w * 8, h * 8))
+            if n_dev == n_host:
+                overflow_fixed += 1
+            else:
+                overflow_unfixed += 1
+                print(f"scene {sid}: STILL {n_dev} vs {n_host} people at "
+                      f"raised caps (truncated="
+                      f"{bool(np.asarray(sub.truncated))})")
     dt = time.perf_counter() - t0
     print(f"{args.scenes} scenes, {people_total} people: "
           f"{count_mismatch} people-count mismatches (real-bug class), "
-          f"{part_mismatch} part-membership diffs (near-tie class) "
-          f"({dt:.1f}s)")
-    sys.exit(1 if count_mismatch else 0)
+          f"{part_mismatch} part-membership diffs (near-tie class), "
+          f"{len(overflow_scenes)} cap-overflows "
+          f"({overflow_fixed} match at raised caps, "
+          f"{overflow_unfixed} still differ) ({dt:.1f}s)")
+    sys.exit(1 if (count_mismatch or overflow_unfixed) else 0)
 
 
 if __name__ == "__main__":
