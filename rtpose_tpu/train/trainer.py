@@ -68,11 +68,17 @@ def _accepts_train_kwarg(model) -> bool:
     return "train" in inspect.signature(model.__call__).parameters
 
 
-def make_train_step(model, tx, cfg: Config, gt_backend: str = "xla"):
+def make_train_step(model, tx, cfg: Config, gt_backend: str = "xla",
+                    mesh=None):
     gt_fn = _device_impl()
     gy = gx = cfg.dataset.image_size // cfg.model.downsample
     has_train_kwarg = _accepts_train_kwarg(model)
     masked = cfg.train.masked_loss
+    if gt_backend == "pallas" and mesh is not None and mesh.size > 1 \
+            and mesh.shape[pmesh.MODEL_AXIS] > 1:
+        # on a TP mesh the shard_map wrapper below would have to prove
+        # model-axis replication through pallas_call; keep the XLA scan
+        gt_backend = "xla"
     if gt_backend == "pallas":
         from ..ops.pallas_gt import gt_maps_pallas
         gt_batch = functools.partial(
@@ -80,6 +86,20 @@ def make_train_step(model, tx, cfg: Config, gt_backend: str = "xla"):
             stride=cfg.model.downsample, sigma=cfg.dataset.sigma,
             limb_width=cfg.dataset.limb_width,
             interpret=jax.default_backend() != "tpu")
+        if mesh is not None and mesh.size > 1:
+            # pallas_call has no GSPMD partitioning rule, but GT synthesis
+            # is per-image: shard_map over `data` runs the kernel on each
+            # device's local batch shard (keypoints in, maps out, both
+            # batch-sharded — no cross-device communication)
+            from jax.sharding import PartitionSpec as P
+            # check_vma off: pallas_call's out_shape ShapeDtypeStructs
+            # carry no varying-mesh-axes info for the checker; the specs
+            # are trivially correct (pure per-image map, batch in/out)
+            gt_batch = jax.shard_map(
+                gt_batch, mesh=mesh,
+                in_specs=P(pmesh.DATA_AXIS),
+                out_specs=(P(pmesh.DATA_AXIS), P(pmesh.DATA_AXIS)),
+                check_vma=False)
     else:
         gt_batch = jax.vmap(functools.partial(
             gt_fn, grid_y=gy, grid_x=gx, stride=cfg.model.downsample,
@@ -169,12 +189,13 @@ class Trainer:
         else:
             model_state = {}
         self.tx = make_optimizer(cfg)
-        # pallas GT kernel only on a single-chip TPU: pallas_call has no
-        # GSPMD partitioning rule, so sharded meshes keep the XLA scan path
-        gt_backend = ("pallas" if jax.default_backend() == "tpu"
-                      and self.mesh.size == 1 else "xla")
+        # pallas GT kernel on any TPU mesh: single-chip directly, sharded
+        # meshes via shard_map over `data` (pallas_call itself has no
+        # GSPMD rule; see make_train_step)
+        gt_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         step_fn, eval_fn = make_train_step(self.model, self.tx, cfg,
-                                           gt_backend=gt_backend)
+                                           gt_backend=gt_backend,
+                                           mesh=self.mesh)
 
         frozen_paths = self._frozen_paths()
         mask = freeze_mask(params, frozen_paths,
