@@ -148,8 +148,10 @@ class NativeLoader:
         img_ids = np.zeros((B,), np.int64)
         blobs = []          # keep jpeg bytes alive until wait()
         finalize = []
+        paths = []          # submit-order, to name any failing file
         for bi, index in enumerate(indices):
             img_id, path, kp17, corners = self.dataset.raw_sample(int(index))
+            paths.append(path)
             with open(path, "rb") as f:
                 blob = f.read()
             blobs.append(blob)
@@ -171,7 +173,13 @@ class NativeLoader:
             padded, mask, _ = self.dataset.finalize_keypoints(kp_t, n_people)
             all_kps[bi] = padded
             masks[bi] = mask
-        self.pipe.wait()
+        failed = self.pipe.wait_failed()
+        if failed:
+            names = [paths[i] for i in failed if i < len(paths)]
+            raise RuntimeError(
+                f"native loader: {len(failed)} image(s) failed to "
+                f"decode/augment: {names[:8]}"
+                f"{'...' if len(names) > 8 else ''}")
         return {"image": images, "keypoints": all_kps,
                 "image_id": img_ids, "mask": masks}
 

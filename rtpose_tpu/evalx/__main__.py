@@ -39,6 +39,11 @@ def main():
     parser.add_argument("--fp32", action="store_true")
     args = parser.parse_args()
 
+    if args.vis_dir and (args.batch or args.data_parallel):
+        parser.error("--vis-dir is only supported by the per-image eval "
+                     "loop; drop --batch/--data-parallel to render "
+                     "visualizations")
+
     mesh = None
     if args.data_parallel:
         from ..parallel import mesh as pmesh

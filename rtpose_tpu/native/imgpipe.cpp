@@ -21,6 +21,7 @@
 // Thread-safety: the pool owns a job queue; submissions reference
 // caller-owned buffers that must stay alive until imgpipe_wait_all.
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <condition_variable>
@@ -345,6 +346,7 @@ void resample_bicubic(const std::vector<uint8_t>& src, int w, int h,
 // ---------------------------------------------------------------------------
 
 struct Job {
+    int idx;                      // submit-order index since last wait
     const uint8_t* jpeg;
     size_t jpeg_len;
     // photometric (applied in pipeline order; 1.0 / shift 0 = no-op)
@@ -381,7 +383,9 @@ class Pool {
     void submit(const Job& j) {
         {
             std::unique_lock<std::mutex> lk(mu_);
-            jobs_.push(j);
+            Job j2 = j;
+            j2.idx = next_idx_++;
+            jobs_.push(j2);
             pending_++;
         }
         cv_.notify_one();
@@ -392,7 +396,23 @@ class Pool {
         done_cv_.wait(lk, [this] { return pending_ == 0; });
         int e = errors_;
         errors_ = 0;
+        failed_.clear();
+        next_idx_ = 0;
         return e;
+    }
+    // like wait_all, but also reports WHICH jobs failed: fills out_idx
+    // (up to cap) with the submit-order indices of failed jobs, sorted
+    // ascending, so the caller can name/skip the offending files.
+    int wait_all_failed(int* out_idx, int cap) {
+        std::unique_lock<std::mutex> lk(mu_);
+        done_cv_.wait(lk, [this] { return pending_ == 0; });
+        std::sort(failed_.begin(), failed_.end());
+        int n = static_cast<int>(failed_.size());
+        for (int i = 0; i < n && i < cap; i++) out_idx[i] = failed_[i];
+        failed_.clear();
+        errors_ = 0;
+        next_idx_ = 0;
+        return n;
     }
 
  private:
@@ -409,7 +429,10 @@ class Pool {
             bool ok = process(j);
             {
                 std::unique_lock<std::mutex> lk(mu_);
-                if (!ok) errors_++;
+                if (!ok) {
+                    errors_++;
+                    failed_.push_back(j.idx);
+                }
                 if (--pending_ == 0) done_cv_.notify_all();
             }
         }
@@ -479,6 +502,8 @@ class Pool {
     bool stop_;
     int pending_;
     int errors_;
+    int next_idx_ = 0;
+    std::vector<int> failed_;   // submit-order indices of failed jobs
 };
 
 }  // namespace
@@ -551,5 +576,9 @@ void imgpipe_submit(void* p, const uint8_t* jpeg, size_t jpeg_len,
 }
 
 int imgpipe_wait_all(void* p) { return static_cast<Pool*>(p)->wait_all(); }
+
+int imgpipe_wait_all_failed(void* p, int* out_idx, int cap) {
+    return static_cast<Pool*>(p)->wait_all_failed(out_idx, cap);
+}
 
 }  // extern "C"

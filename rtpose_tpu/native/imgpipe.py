@@ -61,6 +61,9 @@ def _load() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_void_p]                 # mean/std
         lib.imgpipe_wait_all.restype = ctypes.c_int
         lib.imgpipe_wait_all.argtypes = [ctypes.c_void_p]
+        lib.imgpipe_wait_all_failed.restype = ctypes.c_int
+        lib.imgpipe_wait_all_failed.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int]
         _lib = lib
         return lib
 
@@ -131,10 +134,22 @@ class ImgPipe:
             _STD_PTR if normalize else None)
 
     def wait(self) -> None:
-        errors = self._lib.imgpipe_wait_all(self._ctx)
-        if errors:
-            raise RuntimeError(f"{errors} imgpipe job(s) failed "
-                               f"(corrupt/undecodable JPEG?)")
+        failed = self.wait_failed()
+        if failed:
+            raise RuntimeError(
+                f"{len(failed)} imgpipe job(s) failed "
+                f"(corrupt/undecodable JPEG?); submit-order indices "
+                f"{failed[:16]}{'...' if len(failed) > 16 else ''}")
+
+    def wait_failed(self, cap: int = 1024) -> list:
+        """Wait for all submitted jobs; return the submit-order indices
+        (since the previous wait) of jobs that failed, sorted ascending.
+        A failed job's output buffer is left zeroed — callers can name the
+        offending file or skip/re-render the sample instead of aborting
+        blind."""
+        buf = (ctypes.c_int * cap)()
+        n = self._lib.imgpipe_wait_all_failed(self._ctx, buf, cap)
+        return list(buf[:min(n, cap)])
 
     def close(self) -> None:
         if self._ctx:

@@ -340,6 +340,16 @@ def nms(heatmaps: jax.Array, *, factor: int = 8, thresh: float = 0.1,
     py = (idx // W).astype(jnp.int32)
     px = (idx % W).astype(jnp.int32)
     valid = scores0 > thresh
+    # Re-sort each part's surviving peaks into row-major (y, x) order
+    # (invalid slots pushed last) so slot ids — and therefore candidate
+    # enumeration order and greedy tie-breaks downstream — match the
+    # reference's scan order (lib/utils/paf_to_pose.py:25-38 enumerates
+    # np.nonzero row-major; pafprocess.cpp:24-43 buckets in that order).
+    # top_k emits score order, which greedy-orders near-equal candidates
+    # differently than the C++ when scores tie within fp noise.
+    key = jnp.where(valid, py * W + px, H * W)
+    _, scores0, py, px, valid = jax.lax.sort(
+        (key, scores0, py, px, valid), num_keys=1, is_stable=True)
 
     if refine and use_pallas and not gaussian_filt:
         xf, yf, score = _refine_pallas(heat, py, px, factor,

@@ -146,7 +146,10 @@ def main():
     sh = pmesh.batch_sharding(tr.mesh)
     pool = [{k: jax.device_put(v, sh) for k, v in b.items()} for b in pool]
 
+    if args.steps < 1:
+        raise SystemExit("--steps must be >= 1")
     t0 = time.time()
+    loss = float("nan")
     drop_step = int(args.steps * args.lr_drop_at)
     import jax.numpy as jnp
     for step in range(args.steps):

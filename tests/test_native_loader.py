@@ -258,3 +258,26 @@ def test_hue_zero_shift_still_round_trips(pipe, jpg):
     np.testing.assert_array_equal(u8, np.asarray(T.adjust_hue(pil, 0.0)))
     _, u8 = _run(pipe, jpg, 160, 120, hue_shift=-1)
     np.testing.assert_array_equal(u8, np.asarray(pil))
+
+
+def test_wait_failed_reports_submit_indices(pipe, jpg):
+    """A corrupt JPEG fails its own job only, and wait_failed names the
+    submit-order index so callers can identify the offending file
+    (advisor round-2: the pool previously dropped job identity)."""
+    good = np.zeros((120, 160, 3), np.float32)
+    bad = np.zeros((120, 160, 3), np.float32)
+    good2 = np.zeros((120, 160, 3), np.float32)
+    pipe.submit(jpg, out=good, content_xywh=(0, 0, 160, 120))
+    pipe.submit(b"not a jpeg at all", out=bad,
+                content_xywh=(0, 0, 160, 120))
+    pipe.submit(jpg, out=good2, content_xywh=(0, 0, 160, 120))
+    assert pipe.wait_failed() == [1]
+    assert np.any(good != 0) and np.any(good2 != 0)
+    assert not np.any(bad)
+    # counter resets per wait; a clean round reports nothing
+    pipe.submit(jpg, out=good, content_xywh=(0, 0, 160, 120))
+    assert pipe.wait_failed() == []
+    # wait() raises with the indices in the message
+    pipe.submit(b"corrupt", out=bad, content_xywh=(0, 0, 160, 120))
+    with pytest.raises(RuntimeError, match=r"\[0\]"):
+        pipe.wait()
