@@ -205,6 +205,19 @@ def evaluate_keypoints(gt_anns_by_image: Dict[int, List[dict]],
     """
     if img_ids is None:
         img_ids = sorted(gt_anns_by_image)
+    # pycocotools protocol: match arrays store annotation ids with 0 as
+    # the "unmatched" sentinel (cocoeval.py evaluateImg), so a GT whose
+    # id is 0 can never count as matched.  Real COCO ids are 1-based;
+    # warn loudly instead of silently mis-scoring synthetic sets.
+    for img_id in img_ids:
+        for g in gt_anns_by_image.get(img_id, []):
+            if g.get("id") == 0:
+                import warnings
+                warnings.warn(
+                    "GT annotation id 0 found: id 0 is the 'unmatched' "
+                    "sentinel in the COCO matching protocol and this "
+                    "annotation will never register as matched; use "
+                    "1-based annotation ids")
     # assign ids to detections (1-based, globally unique)
     next_id = 1
     for img_id in img_ids:

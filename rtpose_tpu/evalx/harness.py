@@ -65,6 +65,7 @@ def run_eval(image_dir: str, ann_file: str, pipeline: PosePipeline, *,
     img_ids = list(img_ids)[:limit] if limit else list(img_ids)
 
     outputs: List[dict] = []
+    n_retried = n_truncated = 0
     for i, img_id in enumerate(img_ids):
         info = coco.image_info(img_id)
         path = os.path.join(image_dir, info["file_name"])
@@ -72,6 +73,8 @@ def run_eval(image_dir: str, ann_file: str, pipeline: PosePipeline, *,
         if img is None:
             raise FileNotFoundError(path)
         people, heat, _paf, meta = pipeline.run(img)
+        n_retried += bool(meta.get("retried"))
+        n_truncated += bool(meta["truncated"])
         h_up, w_up = meta["upsampled"]
         scale = meta["scale"]
         upsample_keypoints = (h_up / scale, w_up / scale)
@@ -86,7 +89,21 @@ def run_eval(image_dir: str, ann_file: str, pipeline: PosePipeline, *,
     if results_path:
         with open(results_path, "w") as f:
             json.dump(outputs, f)
-    return eval_results(outputs, coco, img_ids)
+    stats = eval_results(outputs, coco, img_ids)
+    return _attach_truncation_stats(stats, n_retried, n_truncated)
+
+
+def _attach_truncation_stats(stats, n_retried, n_truncated):
+    """Surface the crowded-frame retry outcome (frames re-decoded at the
+    raised caps; frames STILL truncated afterwards — those may drop people
+    vs the reference's unbounded lists, pafprocess.cpp:24-43)."""
+    stats["frames_retried"] = n_retried
+    stats["frames_truncated"] = n_truncated
+    if n_truncated:
+        print(f"WARNING: {n_truncated} frame(s) still overflow the raised "
+              f"decode caps; results may drop people on those frames "
+              f"(raise PosePipeline retry_caps)")
+    return stats
 
 
 def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
@@ -128,11 +145,14 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
 
     outputs: List[dict] = []
     done = 0
+    n_retried = n_truncated = 0
 
     def drain(chunk, ticket):
-        nonlocal done
+        nonlocal done, n_retried, n_truncated
         people_lists, metas = pipeline.run_batch_collect(ticket)
         for img_id, people, meta in zip(chunk, people_lists, metas):
+            n_retried += bool(meta.get("retried"))
+            n_truncated += bool(meta["truncated"])
             h_up, w_up = meta["upsampled"]
             upk = (h_up / meta["scale"], w_up / meta["scale"])
             append_result(img_id, people, upk, outputs)
@@ -166,7 +186,8 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
     if results_path:
         with open(results_path, "w") as f:
             json.dump(outputs, f)
-    return eval_results(outputs, coco, img_ids)
+    stats = eval_results(outputs, coco, img_ids)
+    return _attach_truncation_stats(stats, n_retried, n_truncated)
 
 
 def eval_results(outputs: List[dict], coco: CocoJson,

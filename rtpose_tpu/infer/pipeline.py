@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.common import ModelOutput
-from ..ops.decode import decode_poses, people_to_numpy
+from ..ops.decode import decode_poses, decode_poses_batch, people_to_numpy
 from ..ops.grouping import People
 from ..skeleton import FLIP_HEAT, FLIP_PAF, NUM_LIMBS
 from .preprocess import crop_with_factor, normalize_device
@@ -35,6 +35,15 @@ _FLIP_HEAT_ARR = np.array(FLIP_HEAT)
 # x-channels (even index into each limb's (x,y) pair) get negated on flip
 _PAF_X_NEG = np.ones(2 * NUM_LIMBS, dtype=np.float32)
 _PAF_X_NEG[0::2] = -1.0
+
+# Raised decode caps for the automatic truncation retry: the values the
+# crowded-scene hardware soak validated against the unbounded host oracle
+# (scripts/soak_decode.py; 21/100 crowded scenes overflow the defaults).
+# The reference keeps unbounded dynamic lists (pafprocess.cpp:24-43), so a
+# silently truncated frame would diverge from it exactly on the crowded
+# images where AP is hardest.
+RETRY_CAPS = dict(max_peaks=64, max_candidates=1024,
+                  max_total_conns=608, max_people=128)
 
 
 def average_flip(heat: jax.Array, heat_flipped: jax.Array,
@@ -143,7 +152,8 @@ class PosePipeline:
                  flip: bool = True, thresh_heatmap: float = 0.1,
                  max_peaks: int = 32, max_people: int = 64,
                  max_candidates: int = 256, max_total_conns: int = 160,
-                 mesh=None, gaussian_filt: bool = False):
+                 mesh=None, gaussian_filt: bool = False,
+                 auto_retry: bool = True, retry_caps: Optional[Dict] = None):
         """`mesh`: optional jax.sharding.Mesh with a `data` axis — batched
         serving/eval (`run_batch*`) then shards frames across chips and
         XLA runs forward + decode data-parallel (the serving analogue of
@@ -151,7 +161,16 @@ class PosePipeline:
         reference can only DataParallel the forward, its C++ grouping is
         single-image host code).  Single-image `run` stays single-device.
         On sharded meshes the decode uses the XLA one-hot sampler
-        (pallas_call has no GSPMD partitioning rule)."""
+        (pallas_call has no GSPMD partitioning rule).
+
+        `auto_retry` (default on): when a frame overflows a fixed-shape
+        decode cap (People.truncated), automatically re-decode its maps —
+        still on device — at the soak-validated raised caps (RETRY_CAPS,
+        overridable via `retry_caps`) instead of silently dropping people.
+        One extra decode dispatch for the rare crowded frame, no second
+        forward.  meta['retried'] marks retried frames; meta['truncated']
+        reports the POST-retry state (True only if even the raised caps
+        overflowed)."""
         self.model = model
         self.mesh = mesh
         if mesh is not None and mesh.size > 1:
@@ -176,6 +195,13 @@ class PosePipeline:
             decode_poses, factor=downsample, thresh_heatmap=thresh_heatmap,
             max_peaks=max_peaks, max_people=max_people,
             max_candidates=max_candidates, max_total_conns=max_total_conns)
+        self.auto_retry = auto_retry
+        caps = dict(RETRY_CAPS)
+        caps.update(retry_caps or {})
+        self.retry_caps = caps
+        self._decode_retry = functools.partial(
+            decode_poses, factor=downsample, thresh_heatmap=thresh_heatmap,
+            gaussian_filt=gaussian_filt, **caps)
 
     def __call__(self, image_bgr: np.ndarray) -> List[Dict[str, Any]]:
         people, _, _, _meta = self.run(image_bgr)
@@ -203,6 +229,11 @@ class PosePipeline:
         # one bundled readback (issuing the field transfers together) —
         # per-field np.asarray pays a tunnel RTT each
         people_host = jax.device_get(people_dev)
+        if self.auto_retry and bool(people_host.truncated):
+            # crowded frame overflowed a fixed-shape cap: one extra decode
+            # dispatch at the raised caps — the maps are still on device
+            people_host = jax.device_get(self._decode_retry(heat, paf))
+            meta["retried"] = True
         people = people_to_numpy(people_host, w_up, h_up)
         meta["upsampled"] = (h_up, w_up)
         meta["truncated"] = bool(people_host.truncated)
@@ -224,13 +255,22 @@ class PosePipeline:
         Pair with :meth:`run_batch_collect`; keeping one submitted batch in
         flight while collecting the previous one overlaps host->device
         transfer + compute with readback (the video/streaming serving
-        shape — demo/video_demo.py).  Falls back to an eager result tuple
-        for mixed-shape batches (same semantics as run_batch)."""
+        shape — demo/video_demo.py).  A mixed-shape batch is grouped by
+        padded shape into per-shape async sub-batches (one compiled
+        program per shape, all submitted before any readback), keeping the
+        pipeline instead of degrading to serial per-image dispatch."""
         ims, metas = zip(*(self._prep(im) for im in images_bgr))
         if len({im.shape for im in ims}) != 1:
-            results = [self.run(im) for im in images_bgr]
-            return ("eager", [r[0] for r in results],
-                    [r[3] for r in results])
+            groups: Dict[tuple, list] = {}
+            for i, im in enumerate(ims):
+                groups.setdefault(im.shape, []).append(i)
+            sub = [(idxs, self._submit_stacked([ims[i] for i in idxs],
+                                               [metas[i] for i in idxs]))
+                   for idxs in groups.values()]
+            return ("multi", len(ims), sub)
+        return self._submit_stacked(list(ims), list(metas))
+
+    def _submit_stacked(self, ims, metas):
         stacked = np.stack(ims)
         sharded = self.mesh is not None and self.mesh.size > 1
         if sharded:
@@ -257,26 +297,61 @@ class PosePipeline:
                     out_shardings=data_sh)
             else:
                 self._infer_batch = jax.jit(fn)
-        people_dev, heat, _paf = self._infer_batch(self.params, batch)
-        return ("async", people_dev, heat, list(metas))
+        people_dev, heat, paf = self._infer_batch(self.params, batch)
+        # paf rides in the ticket so a truncated frame can be re-decoded
+        # from the still-on-device maps at collect time
+        return ("async", people_dev, heat, paf, list(metas))
 
     def run_batch_collect(self, submitted):
         """Block on a :meth:`run_batch_submit` ticket -> (people, metas)."""
-        if submitted[0] == "eager":
-            return submitted[1], submitted[2]
-        _, people_dev, heat, metas = submitted
+        if submitted[0] == "multi":
+            # mixed-shape batch: collect each per-shape sub-batch and
+            # reassemble results in the original frame order
+            _, n, sub = submitted
+            people = [None] * n
+            metas = [None] * n
+            for idxs, ticket in sub:
+                p, m = self.run_batch_collect(ticket)
+                for j, i in enumerate(idxs):
+                    people[i] = p[j]
+                    metas[i] = m[j]
+            return people, metas
+        _, people_dev, heat, paf, metas = submitted
         h_up = heat.shape[1] * self.downsample
         w_up = heat.shape[2] * self.downsample
         people_host = jax.device_get(people_dev)
+        trunc = np.asarray(people_host.truncated)[:len(metas)]
+        retry_host, retry_pos = None, {}
+        if self.auto_retry and trunc.any():
+            # one extra batched decode dispatch covering ONLY the truncated
+            # frames, from the still-on-device maps (no second forward)
+            idxs = np.nonzero(trunc)[0]
+            sel = jnp.asarray(idxs)
+            sharded = self.mesh is not None and self.mesh.size > 1
+            caps = dict(self.retry_caps)
+            caps.setdefault("sampling", "onehot" if sharded else "auto")
+            retry_dev = decode_poses_batch(
+                heat[sel], paf[sel], factor=self.downsample,
+                thresh_heatmap=self._infer_kwargs["thresh_heatmap"],
+                gaussian_filt=self._infer_kwargs["gaussian_filt"],
+                **caps)
+            retry_host = jax.device_get(retry_dev)
+            retry_pos = {int(g): j for j, g in enumerate(idxs)}
         out = []
         for i, meta in enumerate(metas):
             meta["upsampled"] = (h_up, w_up)
-            meta["truncated"] = bool(people_host.truncated[i])
+            if i in retry_pos:
+                j = retry_pos[i]
+                meta["retried"] = True
+                meta["truncated"] = bool(retry_host.truncated[j])
+                src, k = retry_host, j
+            else:
+                meta["truncated"] = bool(people_host.truncated[i])
+                src, k = people_host, i
             sub = People(
-                coords=people_host.coords[i],
-                part_score=people_host.part_score[i],
-                score=people_host.score[i], valid=people_host.valid[i],
-                truncated=people_host.truncated[i])
+                coords=src.coords[k], part_score=src.part_score[k],
+                score=src.score[k], valid=src.valid[k],
+                truncated=src.truncated[k])
             out.append(people_to_numpy(sub, w_up, h_up))
         return out, metas
 
@@ -328,6 +403,10 @@ class PosePipeline:
             self.params, *(jnp.asarray(im) for im in ims))
         h_up, w_up = bh * self.downsample, bw * self.downsample
         people_host = jax.device_get(people_dev)
+        if self.auto_retry and bool(people_host.truncated):
+            people_host = jax.device_get(
+                self._decode_retry(heat_avg, paf_avg))
+            meta["retried"] = True
         meta["upsampled"] = (h_up, w_up)
         meta["truncated"] = bool(people_host.truncated)
         people = people_to_numpy(people_host, w_up, h_up)
@@ -349,12 +428,16 @@ class PosePipeline:
                                   interpolation=cv2.INTER_CUBIC)
         heat_avg = heat_sum / len(scales)
         paf_avg = paf_sum / len(scales)
-        people_dev = self._decode_only(jnp.asarray(heat_avg),
-                                       jnp.asarray(paf_avg))
+        people_host = jax.device_get(
+            self._decode_only(jnp.asarray(heat_avg), jnp.asarray(paf_avg)))
+        if self.auto_retry and bool(people_host.truncated):
+            people_host = jax.device_get(self._decode_retry(
+                jnp.asarray(heat_avg), jnp.asarray(paf_avg)))
+            meta["retried"] = True
         h_up, w_up = bh * self.downsample, bw * self.downsample
         meta["upsampled"] = (h_up, w_up)
-        meta["truncated"] = bool(np.asarray(people_dev.truncated))
-        people = people_to_numpy(people_dev, w_up, h_up)
+        meta["truncated"] = bool(people_host.truncated)
+        people = people_to_numpy(people_host, w_up, h_up)
         return people, heat_avg, paf_avg, meta
 
     def keypoints_pixels(self, people, meta):

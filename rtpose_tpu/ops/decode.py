@@ -46,12 +46,13 @@ def decode_poses(heatmaps: jax.Array, pafs: jax.Array, *, factor: int = 8,
 
 @functools.partial(jax.jit, static_argnames=(
     "factor", "thresh_heatmap", "max_peaks", "max_people", "refine",
-    "max_candidates", "max_total_conns", "gaussian_filt"))
+    "max_candidates", "max_total_conns", "sampling", "gaussian_filt"))
 def decode_poses_batch(heatmaps: jax.Array, pafs: jax.Array, *,
                        factor: int = 8, thresh_heatmap: float = 0.1,
                        max_peaks: int = 32, max_people: int = 64,
                        refine: bool = True, max_candidates: int = 256,
                        max_total_conns: int = 160,
+                       sampling: str = "auto",
                        gaussian_filt: bool = False) -> People:
     """Batched decode: (B, H, W, 19) + (B, H, W, 38) -> People with leading
     batch axis on every field."""
@@ -60,6 +61,7 @@ def decode_poses_batch(heatmaps: jax.Array, pafs: jax.Array, *,
                            max_peaks=max_peaks, max_people=max_people,
                            refine=refine, max_candidates=max_candidates,
                            max_total_conns=max_total_conns,
+                           sampling=sampling,
                            gaussian_filt=gaussian_filt)
     return jax.vmap(fn)(heatmaps, pafs)
 

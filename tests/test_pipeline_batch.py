@@ -24,19 +24,29 @@ def test_run_batch_matches_single():
         assert len(single) == len(people)
 
 
-def test_run_batch_mixed_shapes_fallback():
-    """Round-1 regression: the mixed-shape fallback returned metas without
-    'upsampled', crashing evalx/harness at meta['upsampled']."""
+def test_run_batch_mixed_shapes_grouped_async():
+    """Mixed-shape batches group by padded shape into per-shape ASYNC
+    sub-batches (round-2 verdict: the old fallback silently degraded to
+    serial eager per-image dispatch, defeating the depth-2 pipeline).
+    Asserts both the results and that the async ticket path was taken."""
     model = get_model("vgg19", num_stages=1, dtype=jnp.float32)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     pipe = PosePipeline(model, params, input_size=56, flip=False)
     rng = np.random.RandomState(1)
     frames = [(rng.rand(80, 60, 3) * 255).astype(np.uint8),
-              (rng.rand(96, 60, 3) * 255).astype(np.uint8)]   # mixed pad
-    people_lists, metas = pipe.run_batch(frames)
-    assert len(people_lists) == 2 and len(metas) == 2
+              (rng.rand(96, 60, 3) * 255).astype(np.uint8),   # mixed pad
+              (rng.rand(80, 60, 3) * 255).astype(np.uint8)]
+    ticket = pipe.run_batch_submit(frames)
+    assert ticket[0] == "multi"
+    assert ticket[1] == 3
+    sub = ticket[2]
+    assert len(sub) == 2                       # two shape groups
+    assert all(t[0] == "async" for _idxs, t in sub)
+    assert sorted(i for idxs, _t in sub for i in idxs) == [0, 1, 2]
+    people_lists, metas = pipe.run_batch_collect(ticket)
+    assert len(people_lists) == 3 and len(metas) == 3
     padded = {m["padded_shape"][:2] for m in metas}
-    assert len(padded) == 2, "frames should hit the mixed-shape fallback"
+    assert len(padded) == 2
     for frame, people, meta in zip(frames, people_lists, metas):
         assert "upsampled" in meta and "scale" in meta
         single, _, _, smeta = pipe.run(frame)
