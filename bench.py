@@ -97,6 +97,59 @@ def program_flops(serve, params, dev_batch):
         return None
 
 
+def train_metrics(peak):
+    """Train-step throughput at the reference batch 72 (img/s, step ms,
+    MFU from XLA's flop count) — the whole jitted update: device GT
+    synthesis + 6-stage forward + backward + SGD."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtpose_tpu.config import Config
+    from rtpose_tpu.train.trainer import Trainer
+
+    cfg = Config()
+    cfg.train.freeze_base_epochs = 0
+    tr = Trainer(cfg)
+    B = cfg.train.batch_size
+    size = cfg.dataset.image_size
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(B, size, size, 3).astype(np.float32)
+                         - 0.5)
+    kps = np.zeros((B, 32, 18, 3), np.float32)
+    kps[:, :3, :, 0] = rng.uniform(20, size - 20, (B, 3, 18))
+    kps[:, :3, :, 1] = rng.uniform(20, size - 20, (B, 3, 18))
+    kps[:, :3, :, 2] = 2
+    kps = jnp.asarray(kps)
+
+    flops = None
+    try:
+        ca = tr.train_step.lower(tr.state, images, kps,
+                                 None).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = float(ca["flops"])
+    except Exception:
+        pass
+
+    # warmup/compile
+    tr.state, logs = tr.train_step(tr.state, images, kps, None)
+    _ = np.asarray(logs["loss"])
+    steps = 8
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        tr.state, logs = tr.train_step(tr.state, images, kps, None)
+    _ = np.asarray(logs["loss"])     # truthful drain (host readback)
+    dt = time.perf_counter() - t0
+    step_ms = dt / steps * 1000.0
+    img_s = steps * B / dt
+    mfu = (flops * (img_s / B) / peak) if (flops and peak) else None
+    return {
+        "train_img_per_s": round(img_s, 1),
+        "train_step_ms": round(step_ms, 1),
+        "train_batch": B,
+        "train_mfu": round(mfu, 4) if mfu else None,
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -154,6 +207,8 @@ def main():
         fps_k = compute_bound_fps(s_k, params, dev_batch)
         extra_decode[f"compute_fps_maxpeaks{k}"] = round(fps_k, 1)
 
+    train = train_metrics(peak)
+
     print(json.dumps({
         "metric": "fps_368x368_e2e_incl_grouping",
         "value": round(fps, 2),
@@ -167,6 +222,7 @@ def main():
         "mfu": round(mfu, 4) if mfu else None,
         "device": kind,
         **extra_decode,
+        **train,
     }))
 
 

@@ -30,7 +30,10 @@ def build_pipeline(args, mesh=None):
     return PosePipeline(model, params, input_size=args.input_size,
                         preprocess_mode=args.preprocess, flip=args.flip,
                         mesh=mesh,
-                        gaussian_filt=getattr(args, "gaussian_filt", False))
+                        gaussian_filt=getattr(args, "gaussian_filt", False),
+                        device_resize=(
+                            "auto" if getattr(args, "device_resize", False)
+                            else False))
 
 
 def add_common_args(parser):
@@ -48,6 +51,10 @@ def add_common_args(parser):
                         help="sigma=3 smoothing of the NMS refine patch "
                              "(reference bool_gaussian_filt, default off)")
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--device-resize", action="store_true",
+                        help="ship raw uint8 frames; scale+pad in-graph "
+                             "(fewer H2D bytes when frames are smaller "
+                             "than --input-size)")
 
 
 def main():

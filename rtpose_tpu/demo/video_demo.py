@@ -53,6 +53,12 @@ def main():
     parser.add_argument("--output", default="output.avi")
     parser.add_argument("--fps", type=float, default=20.0)
     parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--no-device-resize", dest="device_resize",
+                        action="store_false",
+                        help="resize frames on host instead of in-graph")
+    # video frames are usually smaller than --input-size: shipping the raw
+    # frame + in-graph resize doubles pipelined FPS (bench_device_resize)
+    parser.set_defaults(device_resize=True)
     args = parser.parse_args()
 
     pipe = build_pipeline(args)

@@ -65,17 +65,38 @@ def make_infer_fn(model, *, preprocess_mode: str = "vgg",
                   max_people: int = 64, downsample: int = 8,
                   flip: bool = True, decode: bool = True,
                   max_candidates: int = 256, max_total_conns: int = 160,
-                  sampling: str = "auto", gaussian_filt: bool = False):
+                  sampling: str = "auto", gaussian_filt: bool = False,
+                  device_resize_to: int = 0):
     """Build the jitted uint8-image->People function.
 
     Returned fn: (params, image_hwc_uint8) -> (People | None, heat, paf).
     jit-compiled per input shape (use bucketing upstream to bound
     recompiles).
+
+    device_resize_to > 0: the input is the RAW native-resolution uint8
+    frame and crop_with_factor's scale+pad runs in-graph (cv2-INTER_LINEAR-
+    parity bilinear, ops/resize.py) before normalization — the host ships
+    the source bytes, not the enlarged frame (2.3x fewer H2D bytes for
+    240x320 video upscaled to 368; serving is transfer-bound on the tunnel
+    TPU).  All shapes stay static: scale targets derive from the traced
+    input shape.
     """
 
     @jax.jit
     def infer(params, image_u8):
-        image = normalize_device(image_u8, preprocess_mode)
+        if device_resize_to:
+            h, w = image_u8.shape[0], image_u8.shape[1]
+            scale = float(device_resize_to) / min(h, w)
+            rh, rw = int(round(h * scale)), int(round(w * scale))
+            from ..ops.resize import resize_bilinear
+            x = resize_bilinear(image_u8.astype(jnp.float32), (rh, rw))
+            # zero-pad in RAW pixel space (black), like the reference's
+            # crop_with_factor (im_transform.py:119-134), THEN normalize
+            x = jnp.pad(x, ((0, -rh % downsample),
+                            (0, -rw % downsample), (0, 0)))
+            image = normalize_device(x, preprocess_mode)
+        else:
+            image = normalize_device(image_u8, preprocess_mode)
         if flip:
             batch = jnp.stack([image, image[:, ::-1, :]])
         else:
@@ -153,7 +174,8 @@ class PosePipeline:
                  max_peaks: int = 32, max_people: int = 64,
                  max_candidates: int = 256, max_total_conns: int = 160,
                  mesh=None, gaussian_filt: bool = False,
-                 auto_retry: bool = True, retry_caps: Optional[Dict] = None):
+                 auto_retry: bool = True, retry_caps: Optional[Dict] = None,
+                 device_resize: bool = False):
         """`mesh`: optional jax.sharding.Mesh with a `data` axis — batched
         serving/eval (`run_batch*`) then shards frames across chips and
         XLA runs forward + decode data-parallel (the serving analogue of
@@ -170,7 +192,16 @@ class PosePipeline:
         One extra decode dispatch for the rare crowded frame, no second
         forward.  meta['retried'] marks retried frames; meta['truncated']
         reports the POST-retry state (True only if even the raised caps
-        overflowed)."""
+        overflowed).
+
+        `device_resize`: ship the RAW native-resolution uint8 frame and run
+        crop_with_factor's scale+pad in-graph (cv2-INTER_LINEAR-parity
+        bilinear) before normalization.  Cuts H2D bytes ~2.4x and doubles
+        pipelined video FPS for frames smaller than input_size (240x320:
+        62 -> 123 FPS median, scripts/bench_device_resize.py) in the
+        transfer-bound serving regime.  'auto' ships raw only when
+        upscaling and keeps the host resize when the frame is LARGER than
+        input_size (the downscale then ships fewer bytes)."""
         self.model = model
         self.mesh = mesh
         if mesh is not None and mesh.size > 1:
@@ -181,12 +212,14 @@ class PosePipeline:
         self.downsample = downsample
         self.preprocess_mode = preprocess_mode
         self.flip = flip
+        self.device_resize = device_resize
         kwargs = dict(preprocess_mode=preprocess_mode,
                       thresh_heatmap=thresh_heatmap, max_peaks=max_peaks,
                       max_people=max_people, downsample=downsample,
                       max_candidates=max_candidates,
                       max_total_conns=max_total_conns,
-                      gaussian_filt=gaussian_filt)
+                      gaussian_filt=gaussian_filt,
+                      device_resize_to=input_size if device_resize else 0)
         self._infer_kwargs = kwargs
         self._infer = make_infer_fn(model, flip=flip, **kwargs)
         self._infer_maps = make_infer_fn(model, flip=flip, decode=False,
@@ -208,6 +241,27 @@ class PosePipeline:
         return people
 
     def _prep(self, image_bgr: np.ndarray):
+        if self.device_resize:
+            h, w = image_bgr.shape[:2]
+            if self.device_resize == "auto" and min(h, w) >= self.input_size:
+                # downscale regime: the host resize SHRINKS the frame, so
+                # shipping the resized/padded image is the smaller transfer.
+                # The device program still runs (identity resize + pad 0)
+                # on it correctly since min side == input_size.
+                return self._prep_host(image_bgr)
+            # ship the raw frame; the jitted program scales+pads in-graph.
+            # Shape arithmetic mirrors crop_with_factor exactly (cv2's
+            # dsize uses cvRound = round-half-to-even, like python round).
+            scale = float(self.input_size) / min(h, w)
+            rh, rw = int(round(h * scale)), int(round(w * scale))
+            ph = rh + (-rh % self.downsample)
+            pw = rw + (-rw % self.downsample)
+            meta = {"scale": scale, "real_shape": (rh, rw, 3),
+                    "padded_shape": (ph, pw, 3)}
+            return np.ascontiguousarray(image_bgr, np.uint8), meta
+        return self._prep_host(image_bgr)
+
+    def _prep_host(self, image_bgr: np.ndarray):
         im, scale, real_shape = crop_with_factor(
             image_bgr, self.input_size, factor=self.downsample,
             is_ceil=True)
@@ -356,7 +410,9 @@ class PosePipeline:
         return out, metas
 
     def _prep_scales(self, image_bgr, scales):
-        base_im, meta = self._prep(image_bgr)
+        # multi-scale TTA preps every scale on host (the per-scale resize
+        # targets differ; device_resize only covers the single-scale path)
+        base_im, meta = self._prep_host(image_bgr)
         bh = base_im.shape[0] // self.downsample
         bw = base_im.shape[1] // self.downsample
         ims = []

@@ -38,6 +38,37 @@ def resize_matrix(src: int, dst: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def resize_matrix_linear(src: int, dst: int) -> np.ndarray:
+    """(dst, src) dense interpolation matrix for cv2 INTER_LINEAR.
+
+    Same pixel-center convention as the bicubic matrix but 2 taps;
+    cv2's INTER_LINEAR never antialiases (even on downscale), so the
+    2-tap formula is the whole operator.
+    """
+    i = np.arange(dst)
+    srcf = (i + 0.5) * (src / dst) - 0.5
+    f = np.floor(srcf).astype(np.int64)
+    t = (srcf - f).astype(np.float32)
+    out = np.zeros((dst, src), dtype=np.float32)
+    for k, wk in ((0, 1.0 - t), (1, t)):
+        r = np.clip(f + k, 0, src - 1)         # border replication
+        np.add.at(out, (i, r), wk)
+    return out
+
+
+def resize_bilinear(maps: jax.Array, dst_hw: Tuple[int, int]) -> jax.Array:
+    """(H, W, C) float maps -> (dst_h, dst_w, C), cv2 INTER_LINEAR parity
+    (the interpolation crop_with_factor / the reference's cv2.resize
+    default uses, im_transform.py:119-134)."""
+    my = jnp.asarray(resize_matrix_linear(maps.shape[0], dst_hw[0]))
+    mx = jnp.asarray(resize_matrix_linear(maps.shape[1], dst_hw[1]))
+    out = jnp.einsum("ys,swc->ywc", my, maps,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("xw,ywc->yxc", mx, out,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def resize_bicubic(maps: jax.Array, dst_hw: Tuple[int, int]) -> jax.Array:
     """(H, W, C) float maps -> (dst_h, dst_w, C), cv2 INTER_CUBIC parity.
 

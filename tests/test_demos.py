@@ -25,7 +25,7 @@ def test_picture_demo_cli(tmp_path, env):
         [sys.executable, "-m", "rtpose_tpu.demo.picture_demo",
          "--image", str(img_path), "--output", str(out_path),
          "--input-size", "56", "--stages", "1", "--fp32"],
-        capture_output=True, text=True, timeout=600, env=env)
+        capture_output=True, text=True, timeout=900, env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert out_path.exists()
     assert "found" in r.stdout
@@ -45,7 +45,7 @@ def test_video_demo_cli(tmp_path, env):
         [sys.executable, "-m", "rtpose_tpu.demo.video_demo",
          "--video", str(vid_path), "--output", str(out_path),
          "--input-size", "56", "--stages", "1", "--fp32", "--batch", "3"],
-        capture_output=True, text=True, timeout=600, env=env)
+        capture_output=True, text=True, timeout=900, env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert out_path.exists()
     assert "processed 6 frames" in r.stdout
