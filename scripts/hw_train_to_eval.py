@@ -96,6 +96,10 @@ def make_pool(seed, n_batches, batch, size, max_people):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="vgg19",
+                    help="vgg19 | hourglass (hourglass switches to the "
+                         "train_SH recipe: stride 4, sigma 4.416, limb "
+                         "width 1.289, masked loss, BatchNorm state)")
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--size", type=int, default=184)
     ap.add_argument("--stages", type=int, default=2)
@@ -124,9 +128,17 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     cfg = Config()
+    cfg.model.name = args.model
     cfg.model.num_stages = args.stages
     cfg.model.dtype = "bfloat16"
     cfg.dataset.image_size = args.size
+    if args.model == "hourglass":
+        # the reference's second trainer recipe (train_SH.py:76-77,267):
+        # output stride 4, sigma 4.416, limb width 1.289, crowd-masked loss
+        cfg.model.downsample = 4
+        cfg.dataset.sigma = 4.416
+        cfg.dataset.limb_width = 1.289
+        cfg.train.masked_loss = True
     cfg.train.lr = args.lr
     cfg.train.clip_grad_norm = args.clip
     cfg.model.init_scheme = "scratch"  # no pretrained trunk in the image
@@ -175,7 +187,8 @@ def main():
     variables = jax.tree_util.tree_map(jnp.asarray, variables)
     pipe = PosePipeline(tr.model, variables, input_size=args.size,
                         preprocess_mode="vgg", flip=True,
-                        thresh_heatmap=args.thresh_heatmap)
+                        thresh_heatmap=args.thresh_heatmap,
+                        downsample=cfg.model.downsample)
 
     print("running the COCO eval harness on the held-out set...", flush=True)
     stats = run_eval_batched(
