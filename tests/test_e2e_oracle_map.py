@@ -21,19 +21,23 @@ from rtpose_tpu.skeleton import NUM_PARTS, ORDER_COCO
 from test_gt_decode_roundtrip import _spread_people
 
 
-def test_oracle_maps_score_high_ap():
+@pytest.mark.parametrize("size,stride,sigma,limb_width", [
+    (368, 8, 7.0, 1.0),       # flagship recipe (train_VGG19.py)
+    (256, 4, 4.416, 1.289),   # hourglass recipe (train_SH.py:76-77,267)
+])
+def test_oracle_maps_score_high_ap(size, stride, sigma, limb_width):
     rng = np.random.RandomState(0)
-    size = 368
     gts = {}
     dts = {}
     for img_id, n_people in ((1, 1), (2, 3)):
         kps = _spread_people(rng, n_people, size=size)
         heat, paf = ground_truth_maps(kps, input_y=size, input_x=size,
-                                      stride=8, sigma=7.0)
+                                      stride=stride, sigma=sigma,
+                                      limb_width=limb_width)
         heat = heat + rng.normal(0, 1e-5, heat.shape)   # break ties
         people_dev = decode_poses(jnp.asarray(heat, jnp.float32),
                                   jnp.asarray(paf, jnp.float32),
-                                  thresh_heatmap=0.3)
+                                  factor=stride, thresh_heatmap=0.3)
         people = people_to_numpy(people_dev, size, size)
         assert len(people) == n_people
 
