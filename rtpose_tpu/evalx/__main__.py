@@ -39,11 +39,6 @@ def main():
     parser.add_argument("--fp32", action="store_true")
     args = parser.parse_args()
 
-    if args.vis_dir and (args.batch or args.data_parallel):
-        parser.error("--vis-dir is only supported by the per-image eval "
-                     "loop; drop --batch/--data-parallel to render "
-                     "visualizations")
-
     mesh = None
     if args.data_parallel:
         from ..parallel import mesh as pmesh
@@ -57,6 +52,7 @@ def main():
         from .harness import run_eval_batched
         stats = run_eval_batched(args.image_dir, args.ann, pipe,
                                  batch_size=args.batch, limit=args.limit,
+                                 vis_dir=args.vis_dir,
                                  results_path=args.results)
     else:
         from .harness import run_eval

@@ -63,6 +63,8 @@ def run_eval(image_dir: str, ann_file: str, pipeline: PosePipeline, *,
     if img_ids is None:
         img_ids = coco.img_ids(person_cats)
     img_ids = list(img_ids)[:limit] if limit else list(img_ids)
+    if vis_dir:
+        os.makedirs(vis_dir, exist_ok=True)
 
     outputs: List[dict] = []
     n_retried = n_truncated = 0
@@ -108,6 +110,7 @@ def _attach_truncation_stats(stats, n_retried, n_truncated):
 
 def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
                      *, batch_size: int = 16,
+                     vis_dir: Optional[str] = None,
                      img_ids: Optional[Sequence[int]] = None,
                      limit: Optional[int] = None,
                      results_path: Optional[str] = None
@@ -130,6 +133,8 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
     if img_ids is None:
         img_ids = coco.img_ids(person_cats)
     img_ids = list(img_ids)[:limit] if limit else list(img_ids)
+    if vis_dir:
+        os.makedirs(vis_dir, exist_ok=True)
 
     # group by the padded shape crop_with_factor will produce
     from collections import defaultdict
@@ -147,15 +152,21 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
     done = 0
     n_retried = n_truncated = 0
 
-    def drain(chunk, ticket):
+    def drain(chunk, frames, ticket):
         nonlocal done, n_retried, n_truncated
         people_lists, metas = pipeline.run_batch_collect(ticket)
-        for img_id, people, meta in zip(chunk, people_lists, metas):
+        for img_id, img, people, meta in zip(chunk, frames, people_lists,
+                                             metas):
             n_retried += bool(meta.get("retried"))
             n_truncated += bool(meta["truncated"])
             h_up, w_up = meta["upsampled"]
             upk = (h_up / meta["scale"], w_up / meta["scale"])
             append_result(img_id, people, upk, outputs)
+            if vis_dir:
+                from ..utils.draw import draw_people
+                out = draw_people(img, people, meta)
+                cv2.imwrite(os.path.join(
+                    vis_dir, coco.image_info(img_id)["file_name"]), out)
         done += len(chunk)
 
     for shape, ids in sorted(buckets.items(),
@@ -177,7 +188,7 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
             ticket = pipeline.run_batch_submit(frames)
             if pending is not None:
                 drain(*pending)
-            pending = (chunk, ticket)
+            pending = (chunk, frames, ticket)
         if pending is not None:
             drain(*pending)
         print(f"bucket {shape}: {len(ids)} images done "

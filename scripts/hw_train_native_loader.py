@@ -131,18 +131,20 @@ def main():
     t0 = time.perf_counter()
     last_logs = None
     while steps < args.steps:
-        for b in (it if steps else iter(loader)):
-            t_w = time.perf_counter()
-            # the loader's coordinator thread prefetches; this measures how
-            # long the training loop actually blocks on input
-            img = jnp.asarray(b["image"])
-            kps = jnp.asarray(b["keypoints"])
-            mask = jnp.asarray(b["mask"])
-            tr.state, last_logs = tr.train_step(tr.state, img, kps, mask)
-            steps += 1
-            if steps >= args.steps:
-                break
-        it = iter(loader)
+        # the loader's coordinator thread prefetches; stall_s measures how
+        # long the training loop actually blocks waiting on input
+        t_w = time.perf_counter()
+        try:
+            b = next(it)
+        except StopIteration:
+            it = iter(loader)
+            continue
+        stall_s += time.perf_counter() - t_w
+        img = jnp.asarray(b["image"])
+        kps = jnp.asarray(b["keypoints"])
+        mask = jnp.asarray(b["mask"])
+        tr.state, last_logs = tr.train_step(tr.state, img, kps, mask)
+        steps += 1
     loss = float(np.asarray(last_logs["loss"]))   # drain the device queue
     wall = time.perf_counter() - t0
     cpu = time.process_time() - t_cpu0
@@ -162,6 +164,7 @@ def main():
         "wall_s": round(wall, 1),
         "train_img_per_s_loader_fed": round(img_s, 1),
         "loader_only_img_per_s": round(loader_only, 1),
+        "input_stall_fraction": round(stall_s / wall, 3),
         "host_cpu_share": round(cpu / wall, 2),
         "nproc": os.cpu_count(),
     }

@@ -84,9 +84,13 @@ def test_oracle_results_score_ap1(coco_val):
 
 def test_run_eval_batched(coco_val):
     from rtpose_tpu.evalx.harness import run_eval_batched
-    img_dir, ann_file, _ = coco_val
+    img_dir, ann_file, tmp = coco_val
     model = get_model("vgg19", num_stages=1, dtype=jnp.float32)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     pipe = PosePipeline(model, params, input_size=56, flip=False)
-    stats = run_eval_batched(img_dir, ann_file, pipe, batch_size=2)
+    vis = tmp / "vis_batched"   # harness creates it
+    stats = run_eval_batched(img_dir, ann_file, pipe, batch_size=2,
+                             vis_dir=str(vis))
     assert "AP" in stats
+    # vis images written from the batched path too
+    assert len(list(vis.iterdir())) == 2
