@@ -121,6 +121,7 @@ class NativeLoader:
     def __init__(self, dataset: CocoKeypoints, batch_size: int,
                  shuffle: bool = True, threads: int = 8, seed: int = 0,
                  drop_last: bool = True, prefetch: int = 4,
+                 uint8_output: bool = False,
                  aug_kwargs: Dict = None):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -128,6 +129,10 @@ class NativeLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # uint8_output: emit raw (un-normalized) uint8 canvases — 4x fewer
+        # bytes to ship host->device; the jitted train step normalizes
+        # in-graph when it sees a uint8 batch (train/trainer.py loss_fn)
+        self.uint8_output = uint8_output
         self.aug_kwargs = dict(aug_kwargs or {})
         self.aug_kwargs.setdefault("square_edge", dataset.input_size)
         self.pipe = ImgPipe(threads)
@@ -141,7 +146,9 @@ class NativeLoader:
     def _make_batch(self, indices, rng) -> Dict[str, np.ndarray]:
         edge = self.dataset.input_size
         B = len(indices)
-        images = np.zeros((B, edge, edge, 3), np.float32)
+        images = np.zeros((B, edge, edge, 3),
+                          np.uint8 if self.uint8_output else np.float32)
+        windows = np.zeros((B, 4), np.int32)   # content x, y, w, h
         all_kps = np.zeros((B, MAX_PEOPLE_PER_IMAGE, 18, 3), np.float32)
         masks = np.zeros((B, edge // self.dataset.stride,
                           edge // self.dataset.stride, 1), np.float32)
@@ -162,12 +169,15 @@ class NativeLoader:
                 if (len(kp17) or len(corners)) else np.zeros((0, 17, 3))
             kp_t, geom = apply_geometry(all17, w, h, p, edge)
             self.pipe.submit(
-                blob, out=images[bi],
+                blob,
+                out=None if self.uint8_output else images[bi],
+                out_u8=images[bi] if self.uint8_output else None,
                 brightness=p.brightness, contrast=p.contrast,
                 saturation=p.saturation, hue_shift=p.hue_shift,
                 jpeg_quality=p.jpeg_quality, grayscale=p.grayscale,
                 hflip=p.hflip, **geom)
             finalize.append((bi, kp_t, n_people))
+            windows[bi] = geom["content_xywh"]
             img_ids[bi] = img_id
         for bi, kp_t, n_people in finalize:
             padded, mask, _ = self.dataset.finalize_keypoints(kp_t, n_people)
@@ -180,8 +190,15 @@ class NativeLoader:
                 f"native loader: {len(failed)} image(s) failed to "
                 f"decode/augment: {names[:8]}"
                 f"{'...' if len(names) > 8 else ''}")
-        return {"image": images, "keypoints": all_kps,
-                "image_id": img_ids, "mask": masks}
+        batch = {"image": images, "keypoints": all_kps,
+                 "image_id": img_ids, "mask": masks}
+        if self.uint8_output:
+            # the train step needs the content window to reproduce the
+            # float path's zero pad after in-graph normalization: pass
+            # {"u8": batch["image"], "window": batch["valid_xywh"]} as
+            # the images argument (train/trainer.py loss_fn)
+            batch["valid_xywh"] = windows
+        return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))

@@ -33,6 +33,13 @@ def main():
     parser.add_argument("--flip", action="store_true", default=True)
     parser.add_argument("--no-flip", dest="flip", action="store_false")
     parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--score-mode", choices=("parity", "person"),
+                        default="parity",
+                        help="'parity': fixed detection score 1.0 like the "
+                             "reference (coco_eval.py:151); 'person': rank "
+                             "detections by assembled person score "
+                             "(strictly better mAP, breaks results-JSON "
+                             "parity)")
     parser.add_argument("--vis-dir", default=None)
     parser.add_argument("--results", default=None,
                         help="write results json here")
@@ -53,11 +60,13 @@ def main():
         stats = run_eval_batched(args.image_dir, args.ann, pipe,
                                  batch_size=args.batch, limit=args.limit,
                                  vis_dir=args.vis_dir,
+                                 score_mode=args.score_mode,
                                  results_path=args.results)
     else:
         from .harness import run_eval
         stats = run_eval(args.image_dir, args.ann, pipe,
                          vis_dir=args.vis_dir, limit=args.limit,
+                         score_mode=args.score_mode,
                          results_path=args.results)
     print(json.dumps(stats, indent=2))
     print(f"mAP (OKS .50:.95) = {stats['AP']:.4f}")

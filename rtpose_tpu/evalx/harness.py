@@ -36,16 +36,26 @@ def person_to_coco_keypoints(person: Dict[str, Any],
 
 
 def append_result(image_id: int, people: List[Dict[str, Any]],
-                  upsample_keypoints, outputs: List[dict]) -> None:
-    """Append COCO result dicts (reference coco_eval.py:117-154; the
-    reference fixes score=1.0, kept for parity)."""
+                  upsample_keypoints, outputs: List[dict],
+                  score_mode: str = "parity") -> None:
+    """Append COCO result dicts (reference coco_eval.py:117-154).
+
+    score_mode "parity" fixes score=1.0 like the reference
+    (coco_eval.py:151) — COCOeval then has no ranking, so any phantom
+    partial person costs precision at every threshold.  score_mode
+    "person" emits the assembled person's accumulated connection score
+    (the quantity the C++ already filters on, pafprocess.cpp:187-191),
+    letting COCOeval rank real people above phantoms — strictly better
+    mAP, off by default only to keep results-JSON parity.
+    """
     for person in people:
         kps = person_to_coco_keypoints(person, upsample_keypoints)
         outputs.append({
             "image_id": image_id,
             "category_id": 1,
             "keypoints": [float(v) for v in kps.reshape(51)],
-            "score": 1.0,
+            "score": (float(person["score"]) if score_mode == "person"
+                      else 1.0),
         })
 
 
@@ -53,7 +63,8 @@ def run_eval(image_dir: str, ann_file: str, pipeline: PosePipeline, *,
              vis_dir: Optional[str] = None,
              img_ids: Optional[Sequence[int]] = None,
              limit: Optional[int] = None,
-             results_path: Optional[str] = None) -> Dict[str, float]:
+             results_path: Optional[str] = None,
+             score_mode: str = "parity") -> Dict[str, float]:
     """Evaluate on COCO val images; returns the stats dict (stats['AP'] is
     the headline mAP)."""
     import cv2
@@ -80,7 +91,8 @@ def run_eval(image_dir: str, ann_file: str, pipeline: PosePipeline, *,
         h_up, w_up = meta["upsampled"]
         scale = meta["scale"]
         upsample_keypoints = (h_up / scale, w_up / scale)
-        append_result(img_id, people, upsample_keypoints, outputs)
+        append_result(img_id, people, upsample_keypoints, outputs,
+                      score_mode=score_mode)
         if vis_dir:
             from ..utils.draw import draw_people
             out = draw_people(img, people, meta)
@@ -113,7 +125,8 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
                      vis_dir: Optional[str] = None,
                      img_ids: Optional[Sequence[int]] = None,
                      limit: Optional[int] = None,
-                     results_path: Optional[str] = None
+                     results_path: Optional[str] = None,
+                     score_mode: str = "parity"
                      ) -> Dict[str, float]:
     """Throughput-oriented eval: bucket images by padded shape, run the
     jitted pipeline on batches within each bucket (one compile per bucket
@@ -161,7 +174,8 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
             n_truncated += bool(meta["truncated"])
             h_up, w_up = meta["upsampled"]
             upk = (h_up / meta["scale"], w_up / meta["scale"])
-            append_result(img_id, people, upk, outputs)
+            append_result(img_id, people, upk, outputs,
+                          score_mode=score_mode)
             if vis_dir:
                 from ..utils.draw import draw_people
                 out = draw_people(img, people, meta)

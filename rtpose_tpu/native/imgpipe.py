@@ -102,7 +102,7 @@ class ImgPipe:
         self._lib = _load()
         self._ctx = self._lib.imgpipe_create(threads)
 
-    def submit(self, jpeg: bytes, *, out: np.ndarray,
+    def submit(self, jpeg: bytes, *, out: Optional[np.ndarray] = None,
                out_u8: Optional[np.ndarray] = None,
                brightness: float = 1.0, contrast: float = 1.0,
                saturation: float = 1.0, hue_shift: int = -1,
@@ -110,14 +110,20 @@ class ImgPipe:
                hflip: bool = False,
                resize_wh=(0, 0), crop_xy=(0, 0),
                content_xywh=(0, 0, 0, 0), normalize: bool = True) -> None:
-        """One image job. out: (H, W, 3) float32 C-contiguous canvas.
+        """One image job. out: (H, W, 3) float32 C-contiguous canvas;
+        out_u8: (H, W, 3) uint8 canvas (raw pixels, pre-normalization).
+        Either or both may be given; at least one is required.
 
         resize_wh: PIL-bicubic target (0 = no resize); crop_xy: window
         origin in the resized image; content_xywh: where the window lands
         in the canvas.
         """
-        assert out.dtype == np.float32 and out.flags["C_CONTIGUOUS"]
-        ch, cw = out.shape[:2]
+        assert out is not None or out_u8 is not None
+        if out is not None:
+            assert out.dtype == np.float32 and out.flags["C_CONTIGUOUS"]
+        if out_u8 is not None:
+            assert out_u8.dtype == np.uint8 and out_u8.flags["C_CONTIGUOUS"]
+        ch, cw = (out if out is not None else out_u8).shape[:2]
         ox, oy, ow, oh = content_xywh
         rw, rh = resize_wh
         self._lib.imgpipe_submit(
@@ -127,7 +133,8 @@ class ImgPipe:
             int(grayscale), int(hflip),
             int(rw), int(rh), int(crop_xy[0]), int(crop_xy[1]),
             int(ox), int(oy), int(ow), int(oh), cw, ch,
-            out.ctypes.data_as(ctypes.c_void_p),
+            (out.ctypes.data_as(ctypes.c_void_p)
+             if out is not None else None),
             (out_u8.ctypes.data_as(ctypes.c_void_p)
              if out_u8 is not None else None),
             _MEAN_PTR if normalize else None,

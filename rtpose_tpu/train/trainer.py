@@ -115,6 +115,24 @@ def make_train_step(model, tx, cfg: Config, gt_backend: str = "xla",
         return model.apply(variables, images, **kwargs), model_state
 
     def loss_fn(params, model_state, images, keypoints, mask, train):
+        if isinstance(images, dict):
+            # raw-RGB batches (NativeLoader(uint8_output=True)): ship
+            # {"u8": (B,H,W,3) uint8, "window": (B,4) int32 x,y,w,h} — 4x
+            # fewer host->device bytes than the float canvas — and fold
+            # the loader's fused normalize + zero-pad into the graph:
+            # same (v/255 - mean)/std as imgpipe.cpp, then exact 0
+            # outside each image's content window (the float path's
+            # canvas memset).
+            from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+            u8, win = images["u8"], images["window"]
+            x = (u8.astype(jnp.float32) / 255.0
+                 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            ys = jnp.arange(x.shape[1])[None, :, None]
+            xs = jnp.arange(x.shape[2])[None, None, :]
+            x0, y0, ww, wh = (win[:, i][:, None, None] for i in range(4))
+            inside = ((ys >= y0) & (ys < y0 + wh)
+                      & (xs >= x0) & (xs < x0 + ww))
+            images = x * inside[..., None]
         heat_gt, paf_gt = gt_batch(keypoints)
         out, new_state = _apply(params, model_state, images, train)
         hm = pm = None

@@ -80,6 +80,9 @@ def main():
     ap.add_argument("--stages", type=int, default=2)
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--uint8", action="store_true",
+                    help="ship raw uint8 canvases + content windows and "
+                         "normalize/zero-pad in-graph (4x fewer H2D bytes)")
     ap.add_argument("--max-people", type=int, default=4)
     ap.add_argument("--out", default="/tmp/native_loader_train")
     args = ap.parse_args()
@@ -93,12 +96,17 @@ def main():
     from rtpose_tpu.train.trainer import Trainer
 
     os.makedirs(args.out, exist_ok=True)
-    print("rendering JPEG training set...", flush=True)
-    t_render = time.time()
-    img_dir, ann_file = write_train_set(args.out, 0, args.images,
-                                        args.size, args.max_people)
-    print(f"  {args.images} JPEGs in {time.time() - t_render:.0f}s",
-          flush=True)
+    img_dir = os.path.join(args.out, "train")
+    ann_file = os.path.join(args.out, "train.json")
+    if os.path.isfile(ann_file) and len(os.listdir(img_dir)) == args.images:
+        print("reusing rendered JPEG training set", flush=True)
+    else:
+        print("rendering JPEG training set...", flush=True)
+        t_render = time.time()
+        img_dir, ann_file = write_train_set(args.out, 0, args.images,
+                                            args.size, args.max_people)
+        print(f"  {args.images} JPEGs in {time.time() - t_render:.0f}s",
+              flush=True)
 
     cfg = Config()
     cfg.model.num_stages = args.stages
@@ -113,13 +121,20 @@ def main():
 
     ds = CocoKeypoints(img_dir, ann_file, input_size=args.size)
     loader = NativeLoader(ds, batch_size=args.batch, shuffle=True,
-                          threads=args.threads, seed=0, prefetch=4)
+                          threads=args.threads, seed=0, prefetch=4,
+                          uint8_output=args.uint8)
     tr = Trainer(cfg)
+
+    def images_arg(b):
+        if args.uint8:
+            return {"u8": jnp.asarray(b["image"]),
+                    "window": jnp.asarray(b["valid_xywh"])}
+        return jnp.asarray(b["image"])
 
     # warmup/compile with one loader batch
     it = iter(loader)
     b = next(it)
-    tr.state, logs = tr.train_step(tr.state, jnp.asarray(b["image"]),
+    tr.state, logs = tr.train_step(tr.state, images_arg(b),
                                    jnp.asarray(b["keypoints"]),
                                    jnp.asarray(b["mask"]))
     _ = np.asarray(logs["loss"])
@@ -140,7 +155,7 @@ def main():
             it = iter(loader)
             continue
         stall_s += time.perf_counter() - t_w
-        img = jnp.asarray(b["image"])
+        img = images_arg(b)
         kps = jnp.asarray(b["keypoints"])
         mask = jnp.asarray(b["mask"])
         tr.state, last_logs = tr.train_step(tr.state, img, kps, mask)
@@ -160,6 +175,7 @@ def main():
     summary = {
         "steps": args.steps, "batch": args.batch, "size": args.size,
         "stages": args.stages, "threads": args.threads,
+        "uint8": bool(args.uint8),
         "final_loss": round(loss, 5),
         "wall_s": round(wall, 1),
         "train_img_per_s_loader_fed": round(img_s, 1),

@@ -82,6 +82,46 @@ def test_oracle_results_score_ap1(coco_val):
     assert stats["AR"] == pytest.approx(1.0)
 
 
+def test_score_mode_person_ranks_out_phantoms(coco_val):
+    """With the reference's fixed score=1.0 a phantom detection listed
+    before the true one halves AP (no ranking information); score_mode
+    'person' carries the assembled person score so COCOeval ranks the
+    real detection first."""
+    from rtpose_tpu.evalx.harness import append_result
+    _, ann_file, _ = coco_val
+    coco = CocoJson(ann_file)
+    img_ids = coco.img_ids([1])
+
+    def outputs_for(score_mode):
+        outputs = []
+        for img_id in img_ids:
+            ann = coco.annotations(img_id, [1])[0]
+            kp = np.asarray(ann["keypoints"], np.float64).reshape(17, 3)
+            w = coco.image_info(img_id)["width"]
+            h = coco.image_info(img_id)["height"]
+            # people dicts as people_to_numpy emits them: normalized
+            # coords keyed by 18-part ids. Build via the inverse of
+            # person_to_coco_keypoints (x = xn*W + 0.5).
+            from rtpose_tpu.skeleton import ORDER_COCO
+            true_parts = {
+                part: ((kp[slot, 0] - 0.5) / w, (kp[slot, 1] - 0.5) / h,
+                       0.9)
+                for slot, part in enumerate(ORDER_COCO)}
+            phantom_parts = {p: (0.02 + 0.001 * p, 0.02, 0.1)
+                             for p in list(true_parts)[:6]}
+            people = [{"parts": phantom_parts, "score": 0.4},   # listed 1st
+                      {"parts": true_parts, "score": 9.0}]
+            append_result(img_id, people, (h, w), outputs,
+                          score_mode=score_mode)
+        return outputs
+
+    ap_parity = eval_results(outputs_for("parity"), coco, img_ids)["AP"]
+    ap_person = eval_results(outputs_for("person"), coco, img_ids)["AP"]
+    assert ap_person > ap_parity
+    assert ap_person == pytest.approx(1.0)
+    assert ap_parity == pytest.approx(0.5)
+
+
 def test_run_eval_batched(coco_val):
     from rtpose_tpu.evalx.harness import run_eval_batched
     img_dir, ann_file, tmp = coco_val

@@ -183,6 +183,75 @@ def test_native_loader_matches_pil_loader_deterministic(coco_dir):
         np.testing.assert_array_equal(bn["mask"], bp["mask"])
 
 
+def test_uint8_output_matches_float_path(coco_dir):
+    """uint8_output ships raw pixels; normalizing them on the host must
+    reproduce the float path's fused-normalize canvases exactly (same
+    seed -> same sampled augmentation)."""
+    from rtpose_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    img_dir, ann = coco_dir
+    ds = CocoKeypoints(img_dir, ann)
+    kw = dict(batch_size=4, shuffle=True, threads=4, seed=11)
+    f32 = NativeLoader(ds, **kw)
+    u8 = NativeLoader(ds, uint8_output=True, **kw)
+    for bf, bu in zip(f32, u8):
+        assert bu["image"].dtype == np.uint8
+        norm = (bu["image"].astype(np.float32) / 255.0
+                - IMAGENET_MEAN) / IMAGENET_STD
+        # zero outside each content window (the float canvas's memset)
+        for i, (x0, y0, w, h) in enumerate(bu["valid_xywh"]):
+            m = np.zeros(norm.shape[1:3], bool)
+            m[y0:y0 + h, x0:x0 + w] = True
+            norm[i][~m] = 0.0
+        np.testing.assert_allclose(norm, bf["image"], atol=2e-6)
+        np.testing.assert_array_equal(bu["keypoints"], bf["keypoints"])
+        np.testing.assert_array_equal(bu["mask"], bf["mask"])
+
+
+def test_train_step_accepts_uint8_batch(coco_dir):
+    """The jitted train step normalizes uint8 batches in-graph: one step
+    from the same init on uint8 vs pre-normalized float input must give
+    the same loss."""
+    import jax.numpy as jnp
+
+    from rtpose_tpu.config import Config
+    from rtpose_tpu.train.trainer import Trainer
+
+    img_dir, ann = coco_dir
+    cfg = Config()
+    cfg.model.num_stages = 1
+    cfg.model.dtype = "float32"
+    cfg.dataset.image_size = 64
+    cfg.train.freeze_base_epochs = 0
+    ds = CocoKeypoints(img_dir, ann, input_size=64)
+    loader = NativeLoader(ds, batch_size=8, shuffle=False, threads=2,
+                          uint8_output=True,
+                          aug_kwargs=dict(scale_range=0.3, hflip_prob=0.0,
+                                          color_jitter=0.0, jpeg_prob=0.0,
+                                          grayscale_prob=0.0))
+    batch = next(iter(loader))
+    from rtpose_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    imgf = (batch["image"].astype(np.float32) / 255.0
+            - IMAGENET_MEAN) / IMAGENET_STD
+    for i, (x0, y0, w, h) in enumerate(batch["valid_xywh"]):
+        m = np.zeros(imgf.shape[1:3], bool)
+        m[y0:y0 + h, x0:x0 + w] = True
+        imgf[i][~m] = 0.0
+
+    tr = Trainer(cfg)
+    _, logs_u8 = tr.train_step(
+        tr.state,
+        {"u8": jnp.asarray(batch["image"]),
+         "window": jnp.asarray(batch["valid_xywh"])},
+        jnp.asarray(batch["keypoints"]),
+        jnp.asarray(batch["mask"]))
+    tr2 = Trainer(cfg)
+    _, logs_f32 = tr2.train_step(tr2.state, jnp.asarray(imgf),
+                                 jnp.asarray(batch["keypoints"]),
+                                 jnp.asarray(batch["mask"]))
+    np.testing.assert_allclose(float(logs_u8["loss"]),
+                               float(logs_f32["loss"]), rtol=1e-5)
+
+
 def test_native_loader_augmented_contract(coco_dir):
     """Full augmentation on: shapes, dtype, keypoint legality, zero padding
     outside the valid area."""
