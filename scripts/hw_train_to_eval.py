@@ -192,11 +192,25 @@ def main():
 
     print("running the COCO eval harness on the held-out set...", flush=True)
     stats = run_eval_batched(
-        img_dir, ann_file, pipe, batch_size=16,
+        img_dir, ann_file, pipe, batch_size=16, score_mode="person",
         results_path=os.path.join(args.out, "results.json"))
+
+    # Re-score the SAME detections with the reference's fixed score=1.0
+    # (no second forward) to quantify what person-score ranking buys.
+    from rtpose_tpu.data.coco_json import CocoJson
+    from rtpose_tpu.evalx.harness import eval_results
+    with open(os.path.join(args.out, "results.json")) as f:
+        results = json.load(f)
+    coco = CocoJson(ann_file)
+    parity = eval_results([{**r, "score": 1.0} for r in results], coco,
+                          coco.img_ids(coco.cat_ids("person")))
+    print(f"AP person-score {stats['AP']:.4f} vs parity-score "
+          f"{parity['AP']:.4f}", flush=True)
+
     summary = {"steps": args.steps, "final_train_loss": loss,
                "eval_images": args.eval_images,
                "wall_s": round(time.time() - t0, 1),
+               "AP_parity_score": round(float(parity["AP"]), 4),
                **{k: round(float(v), 4) for k, v in stats.items()}}
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
