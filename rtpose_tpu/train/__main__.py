@@ -24,6 +24,10 @@ def main():
     from ..config import apply_dotlist, load_config
     cfg = load_config(args.config)
     apply_dotlist(cfg, args.set)
+    if cfg.train.data_loader == "native" and cfg.dataset.rotate_degrees:
+        raise SystemExit(
+            "train.data_loader=native does not support "
+            "dataset.rotate_degrees — use the pil loader")
 
     from ..data.dataset import CocoKeypoints, Loader
     from ..data import transforms as T
@@ -47,11 +51,34 @@ def main():
         input_size=cfg.dataset.image_size,
         stride=cfg.model.downsample, sigma=cfg.dataset.sigma)
 
-    train_loader = Loader(train_ds, cfg.train.batch_size,
-                          num_workers=cfg.train.data_workers,
-                          seed=cfg.train.seed)
-    val_loader = Loader(val_ds, cfg.train.batch_size, shuffle=False,
-                        num_workers=cfg.train.data_workers)
+    if cfg.train.data_loader == "native":
+        # C++ imgpipe pool + uint8 wire format (SCALING.md 'Input
+        # pipeline'). Only the default reference augmentation family is
+        # supported natively (rotation rejected above).
+        from ..data.native_loader import NativeLoader
+        train_loader = NativeLoader(
+            train_ds, cfg.train.batch_size, shuffle=True,
+            threads=cfg.train.data_workers, seed=cfg.train.seed,
+            uint8_output=True,
+            aug_kwargs=dict(
+                square_edge=cfg.dataset.image_size,
+                scale_range=(cfg.dataset.scale_min, cfg.dataset.scale_max),
+                hflip_prob=cfg.dataset.hflip_prob))
+        # val = deterministic identity aug (Rescale(1.0)+Crop+CenterPad),
+        # expressible in the same kernel with all sampling disabled
+        val_loader = NativeLoader(
+            val_ds, cfg.train.batch_size, shuffle=False,
+            threads=cfg.train.data_workers, uint8_output=True,
+            aug_kwargs=dict(
+                square_edge=cfg.dataset.image_size,
+                scale_range=1.0, hflip_prob=0.0, color_jitter=0.0,
+                jpeg_prob=0.0, grayscale_prob=0.0))
+    else:
+        train_loader = Loader(train_ds, cfg.train.batch_size,
+                              num_workers=cfg.train.data_workers,
+                              seed=cfg.train.seed)
+        val_loader = Loader(val_ds, cfg.train.batch_size, shuffle=False,
+                            num_workers=cfg.train.data_workers)
 
     trainer = Trainer(cfg)
     if args.vgg_weights:

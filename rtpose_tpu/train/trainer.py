@@ -284,12 +284,18 @@ class Trainer:
         gy = gx = self.cfg.dataset.image_size // self.cfg.model.downsample
         for i, batch in enumerate(loader):
             images = batch["image"]
+            n_img = images.shape[0]
             kps = batch["keypoints"]
             mask = batch.get("mask")
             if mask is None:
-                mask = np.ones((images.shape[0], gy, gx, 1), np.float32)
+                mask = np.ones((n_img, gy, gx, 1), np.float32)
             t_data.update(time.time() - tic)
             sh = pmesh.batch_sharding(self.mesh)
+            if "valid_xywh" in batch:
+                # NativeLoader(uint8_output=True) wire format: raw uint8
+                # canvas + content window; loss_fn normalizes/zero-pads
+                # in-graph (4x fewer H2D bytes than the float canvas)
+                images = {"u8": images, "window": batch["valid_xywh"]}
             images = jax.device_put(images, sh)
             kps = jax.device_put(kps, sh)
             mask = jax.device_put(mask, sh)
@@ -305,8 +311,7 @@ class Trainer:
             vals = np.asarray(jnp.stack([logs[k] for k in keys]))
             logs = {k: float(v) for k, v in zip(keys, vals)}
             for k, v in logs.items():
-                meters.setdefault(k, AverageMeter()).update(
-                    v, n=images.shape[0])
+                meters.setdefault(k, AverageMeter()).update(v, n=n_img)
             t_step.update(time.time() - tic)
             tic = time.time()
             if i % log_every == 0:

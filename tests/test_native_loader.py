@@ -350,3 +350,53 @@ def test_wait_failed_reports_submit_indices(pipe, jpg):
     pipe.submit(b"corrupt", out=bad, content_xywh=(0, 0, 160, 120))
     with pytest.raises(RuntimeError, match=r"\[0\]"):
         pipe.wait()
+
+
+def test_train_cli_native_loader(coco_dir, tmp_path, monkeypatch):
+    """The production CLI (python -m rtpose_tpu.train) trains through the
+    native uint8 loader when train.data_loader=native: Trainer.run_epoch
+    must build the {"u8", "window"} wire format from the loader batches
+    for both the train and the deterministic-val epochs."""
+    import sys
+
+    from rtpose_tpu.train.__main__ import main
+
+    img_dir, ann = coco_dir
+    monkeypatch.setattr(sys, "argv", [
+        "train", "--epochs", "1", "--set",
+        f'dataset.train_image_dir="{img_dir}"',
+        f'dataset.train_annotations=["{ann}"]',
+        f'dataset.val_image_dir="{img_dir}"',
+        f'dataset.val_annotations="{ann}"',
+        "dataset.image_size=64",
+        "parallel.num_data=1",
+        "train.data_loader=native",
+        "train.batch_size=4",
+        "train.data_workers=2",
+        "train.freeze_base_epochs=0",
+        "train.print_freq=100",
+        'model.dtype="float32"',
+        "model.num_stages=1",
+        f'train.checkpoint_dir="{tmp_path}/ckpt"',
+    ])
+    main()
+    import os
+    assert os.path.isdir(f"{tmp_path}/ckpt")
+
+
+def test_train_cli_native_loader_rejects_rotation(coco_dir, tmp_path,
+                                                  monkeypatch):
+    import sys
+
+    from rtpose_tpu.train.__main__ import main
+
+    img_dir, ann = coco_dir
+    monkeypatch.setattr(sys, "argv", [
+        "train", "--epochs", "1", "--set",
+        f'dataset.train_image_dir="{img_dir}"',
+        f'dataset.train_annotations=["{ann}"]',
+        "dataset.rotate_degrees=40.0",
+        "train.data_loader=native",
+    ])
+    with pytest.raises(SystemExit, match="rotate"):
+        main()
