@@ -400,3 +400,42 @@ def test_train_cli_native_loader_rejects_rotation(coco_dir, tmp_path,
     ])
     with pytest.raises(SystemExit, match="rotate"):
         main()
+
+
+def test_uint8_wire_format_on_sharded_mesh():
+    """The uint8 {"u8", "window"} wire format must shard over a DP mesh
+    exactly like the float canvas: run_epoch on the virtual 8-device mesh
+    gives the same eval loss either way."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtpose_tpu.config import Config
+    from rtpose_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    from rtpose_tpu.parallel import mesh as pmesh
+    from rtpose_tpu.train.trainer import Trainer
+
+    cfg = Config()
+    cfg.model.num_stages = 1
+    cfg.model.dtype = "float32"
+    cfg.dataset.image_size = 64
+    cfg.train.freeze_base_epochs = 0
+    mesh = pmesh.make_mesh(8, 1)
+    tr = Trainer(cfg, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    u8 = (rng.random((8, 64, 64, 3)) * 255).astype(np.uint8)
+    win = np.tile(np.array([4, 2, 56, 60], np.int32), (8, 1))
+    kps = np.zeros((8, 32, 18, 3), np.float32)
+    kps[:, 0, :, 0] = rng.uniform(5, 59, (8, 18))
+    kps[:, 0, :, 1] = rng.uniform(5, 59, (8, 18))
+    kps[:, 0, :, 2] = 2
+    imgf = (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    m = np.zeros((64, 64), bool)
+    m[2:62, 4:60] = True
+    imgf[:, ~m] = 0.0
+
+    batch_u8 = {"image": u8, "keypoints": kps, "valid_xywh": win}
+    batch_f32 = {"image": imgf, "keypoints": kps}
+    logs_u8 = tr.run_epoch([batch_u8], train=False, log_every=100)
+    logs_f32 = tr.run_epoch([batch_f32], train=False, log_every=100)
+    np.testing.assert_allclose(logs_u8["loss"], logs_f32["loss"], rtol=1e-6)
