@@ -156,17 +156,17 @@ def main():
 
     # Persistent compile cache: the 6-stage fwd and fwd+bwd programs cost
     # minutes to compile; cached XLA binaries load in ms on the axon
-    # backend (measured 0.74 s -> 0.02 s), so repeat bench runs spend
-    # their time measuring, not compiling.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/rtpose_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # backend (measured 0.74 s -> 0.02 s; full bench ~10 min -> 173 s),
+    # so repeat bench runs spend their time measuring, not compiling.
+    from rtpose_tpu.utils.compile_cache import enable
+    enable(default_dir="/tmp/rtpose_jax_cache")
 
     from rtpose_tpu.models import get_model
     from rtpose_tpu.ops.decode import decode_poses
 
     model = get_model("vgg19", num_stages=6, dtype=jnp.bfloat16)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 368, 368, 3), jnp.float32))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 368, 368, 3), jnp.float32))
 
     def make_serve(max_peaks):
         decode = jax.vmap(lambda h, p: decode_poses.__wrapped__(

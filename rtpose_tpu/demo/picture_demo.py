@@ -13,6 +13,9 @@ def build_pipeline(args, mesh=None):
     import jax
     import jax.numpy as jnp
 
+    from ..utils.compile_cache import enable as _enable_compile_cache
+    _enable_compile_cache()
+
     from ..infer.pipeline import PosePipeline
     from ..models import get_model
     from ..models.import_torch import (import_rtpose_state_dict,
@@ -20,8 +23,12 @@ def build_pipeline(args, mesh=None):
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     model = get_model(args.model, num_stages=args.stages, dtype=dtype)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, args.input_size, args.input_size, 3)))
+    # jit the init: eager flax init dispatches hundreds of tiny ops, each
+    # paying the tunnel's ~0.4 s per-dispatch compile RTT (minutes of
+    # startup); one jitted program compiles once and persists in the cache
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, args.input_size, args.input_size, 3)))
     if args.weight:
         sd = load_torch_checkpoint(args.weight)
         params = jax.tree_util.tree_map(

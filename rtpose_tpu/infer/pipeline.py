@@ -137,8 +137,11 @@ def load_pipeline(checkpoint_dir: str = None, *, torch_weights: str = None,
     dtype = dtype or jnp.bfloat16
     model = get_model(model_name, num_stages=num_stages, dtype=dtype)
     if not checkpoint_dir or torch_weights:
-        params = model.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, input_size, input_size, 3)))
+        # jitted: eager init pays a per-op dispatch/compile RTT on tunnel
+        # backends (hundreds of tiny programs); one program caches well
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, input_size, input_size, 3)))
     if torch_weights:
         from ..models.import_torch import (import_rtpose_state_dict,
                                            load_torch_checkpoint)

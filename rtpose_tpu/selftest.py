@@ -128,6 +128,9 @@ def measure_fps() -> None:
 
 def main():
     import jax
+
+    from .utils.compile_cache import enable as _enable_compile_cache
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--fps", action="store_true",
                         help="also measure flagship serving latency")

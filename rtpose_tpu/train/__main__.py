@@ -22,6 +22,8 @@ def main():
     args = parser.parse_args()
 
     from ..config import apply_dotlist, load_config
+    from ..utils.compile_cache import enable as _enable_compile_cache
+    _enable_compile_cache()
     cfg = load_config(args.config)
     apply_dotlist(cfg, args.set)
     if cfg.train.data_loader == "native" and cfg.dataset.rotate_degrees:

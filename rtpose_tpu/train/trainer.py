@@ -194,12 +194,19 @@ class Trainer:
                                num_stages=cfg.model.num_stages, dtype=dtype)
         if params is None:
             size = cfg.dataset.image_size
-            params = self.model.init(
-                jax.random.PRNGKey(cfg.train.seed),
-                jnp.zeros((1, size, size, 3), jnp.float32))
-            if cfg.model.init_scheme == "scratch":
-                from ..models.common import he_reinit
-                params = he_reinit(params, seed=cfg.train.seed)
+
+            # one jitted program for the whole init: eager flax init (and
+            # he_reinit's per-leaf redraws) dispatch hundreds of tiny ops,
+            # each paying the tunnel backend's ~0.4 s compile/dispatch RTT
+            def _init(rng):
+                p = self.model.init(
+                    rng, jnp.zeros((1, size, size, 3), jnp.float32))
+                if cfg.model.init_scheme == "scratch":
+                    from ..models.common import he_reinit
+                    p = he_reinit(p, seed=cfg.train.seed)
+                return p
+
+            params = jax.jit(_init)(jax.random.PRNGKey(cfg.train.seed))
         # split variables: trainable params vs model state (batch_stats)
         if "params" in params:
             model_state = {k: v for k, v in params.items() if k != "params"}
