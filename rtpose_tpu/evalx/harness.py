@@ -183,22 +183,46 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
                     vis_dir, coco.image_info(img_id)["file_name"]), out)
         done += len(chunk)
 
+    import queue
+    import threading
+
+    def read_chunks(ids, q):
+        """Decode-ahead producer: cv2.imread releases the GIL, so the next
+        chunk decodes while the main thread blocks on the previous chunk's
+        device readback (the dominant wait on the tunnel backend)."""
+        try:
+            for i in range(0, len(ids), batch_size):
+                chunk = ids[i:i + batch_size]
+                frames = []
+                for img_id in chunk:
+                    info = coco.image_info(img_id)
+                    img = cv2.imread(os.path.join(image_dir,
+                                                  info["file_name"]))
+                    if img is None:
+                        raise FileNotFoundError(info["file_name"])
+                    frames.append(img)
+                q.put((chunk, frames))
+        except BaseException as e:  # noqa: BLE001 - re-raised by consumer
+            q.put(e)
+        finally:
+            q.put(None)
+
     for shape, ids in sorted(buckets.items(),
                              key=lambda kv: -len(kv[1])):
         # depth-2 pipeline within a bucket: chunk k+1's imread + H2D +
         # forward overlap chunk k's readback + result conversion (same
         # shape -> same compiled program, no pipeline-breaking recompile)
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        t = threading.Thread(target=read_chunks, args=(ids, q), daemon=True)
+        t.start()
         pending = None
-        for i in range(0, len(ids), batch_size):
-            chunk = ids[i:i + batch_size]
-            frames = []
-            for img_id in chunk:
-                info = coco.image_info(img_id)
-                img = cv2.imread(os.path.join(image_dir,
-                                              info["file_name"]))
-                if img is None:
-                    raise FileNotFoundError(info["file_name"])
-                frames.append(img)
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            chunk, frames = item
             ticket = pipeline.run_batch_submit(frames)
             if pending is not None:
                 drain(*pending)
