@@ -205,6 +205,8 @@ class PosePipeline:
         transfer-bound serving regime.  'auto' ships raw only when
         upscaling and keeps the host resize when the frame is LARGER than
         input_size (the downscale then ships fewer bytes)."""
+        from ..utils.compile_cache import enable as _enable_compile_cache
+        _enable_compile_cache()
         self.model = model
         self.mesh = mesh
         if mesh is not None and mesh.size > 1:
@@ -225,8 +227,13 @@ class PosePipeline:
                       device_resize_to=input_size if device_resize else 0)
         self._infer_kwargs = kwargs
         self._infer = make_infer_fn(model, flip=flip, **kwargs)
+        # maps-only fn for the multi-scale paths: those prep every scale on
+        # host (each scale has a different resize target), so the in-graph
+        # device resize must stay OFF here — with device_resize_to set it
+        # would resize every scale back to input_size and silently collapse
+        # the TTA to single-scale
         self._infer_maps = make_infer_fn(model, flip=flip, decode=False,
-                                         **kwargs)
+                                         **{**kwargs, "device_resize_to": 0})
         self._decode_only = functools.partial(
             decode_poses, factor=downsample, thresh_heatmap=thresh_heatmap,
             max_peaks=max_peaks, max_people=max_people,

@@ -26,6 +26,10 @@ def main():
     _enable_compile_cache()
     cfg = load_config(args.config)
     apply_dotlist(cfg, args.set)
+    if cfg.train.data_loader not in ("pil", "native"):
+        raise SystemExit(
+            f"unknown train.data_loader={cfg.train.data_loader!r} "
+            f"(expected 'pil' or 'native')")
     if cfg.train.data_loader == "native" and cfg.dataset.rotate_degrees:
         raise SystemExit(
             "train.data_loader=native does not support "

@@ -57,10 +57,13 @@ def main():
     from rtpose_tpu.infer.pipeline import PosePipeline
     from rtpose_tpu.models import get_model
 
+    from rtpose_tpu.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     h, w = args.frames
     model = get_model("vgg19", num_stages=args.stages, dtype=jnp.bfloat16)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 368, 368, 3), jnp.float32))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 368, 368, 3), jnp.float32))
     rng = np.random.RandomState(0)
     frames = [(rng.rand(h, w, 3) * 255).astype(np.uint8)
               for _ in range(args.batch)]

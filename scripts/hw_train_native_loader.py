@@ -26,50 +26,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
-from hw_train_synth import render_scene  # noqa: E402
+from hw_train_to_eval import write_coco_eval_set  # noqa: E402
 
 
 def write_train_set(out_dir, seed, n_images, size, max_people, quality=92):
     """Synthetic training scenes as JPEGs + COCO keypoint json (the same
-    on-disk contract CocoKeypoints consumes for real COCO)."""
-    import cv2
-
-    from rtpose_tpu.skeleton import ORDER_COCO
-
-    img_dir = os.path.join(out_dir, "train")
-    os.makedirs(img_dir, exist_ok=True)
-    rng = np.random.RandomState(seed)
-    images, annotations = [], []
-    ann_id = 1
-    for img_id in range(1, n_images + 1):
-        img, kps = render_scene(rng, size,
-                                n_people=1 + rng.randint(max_people))
-        fname = f"synth_{img_id:05d}.jpg"
-        cv2.imwrite(os.path.join(img_dir, fname), img,
-                    [cv2.IMWRITE_JPEG_QUALITY, quality])
-        images.append({"id": img_id, "file_name": fname,
-                       "height": size, "width": size})
-        for person in kps:
-            if not person[:, 2].any():
-                continue
-            coco_kp = np.zeros((17, 3))
-            for slot, part in enumerate(ORDER_COCO):
-                coco_kp[slot] = (person[part, 0], person[part, 1], 2)
-            xs, ys = coco_kp[:, 0], coco_kp[:, 1]
-            annotations.append({
-                "id": ann_id, "image_id": img_id, "category_id": 1,
-                "keypoints": [float(v) for v in coco_kp.reshape(-1)],
-                "num_keypoints": 17, "iscrowd": 0,
-                "area": float((xs.max() - xs.min()) * (ys.max() - ys.min())),
-                "bbox": [float(xs.min()), float(ys.min()),
-                         float(xs.max() - xs.min()),
-                         float(ys.max() - ys.min())]})
-            ann_id += 1
-    ann_file = os.path.join(out_dir, "train.json")
-    with open(ann_file, "w") as f:
-        json.dump({"images": images, "annotations": annotations,
-                   "categories": [{"id": 1, "name": "person"}]}, f)
-    return img_dir, ann_file
+    on-disk contract CocoKeypoints consumes for real COCO) — the shared
+    renderer/annotation writer with a JPEG on-disk format."""
+    return write_coco_eval_set(out_dir, seed, n_images, size, max_people,
+                               img_subdir="train", ann_name="train.json",
+                               ext="jpg", jpeg_quality=quality)
 
 
 def main():
@@ -164,7 +130,11 @@ def main():
     wall = time.perf_counter() - t0
     cpu = time.process_time() - t_cpu0
 
-    # loader-only throughput on the same set (no train step in the loop)
+    # loader-only throughput on the same set (no train step in the loop).
+    # Close the training iterator first: its producer thread shares the
+    # ImgPipe pool, and two live producers would interleave submits and
+    # corrupt wait_failed()'s per-round job indexing.
+    it.close()
     n = 0
     t1 = time.perf_counter()
     for b in loader:

@@ -31,23 +31,30 @@ sys.path.insert(0, os.path.join(
 from hw_train_synth import render_scene  # noqa: E402
 
 
-def write_coco_eval_set(out_dir, seed, n_images, size, max_people):
-    """Render a held-out eval set: PNG images + COCO-format keypoint json
+def write_coco_eval_set(out_dir, seed, n_images, size, max_people, *,
+                        img_subdir="images", ann_name="annotations.json",
+                        ext="png", jpeg_quality=92):
+    """Render a synthetic scene set: images + COCO-format keypoint json
     (17-kp person annotations derived from the rendered 18-part poses via
-    ORDER_COCO — the inverse of evalx.harness.person_to_coco_keypoints)."""
+    ORDER_COCO — the inverse of evalx.harness.person_to_coco_keypoints).
+    Defaults give the lossless held-out eval set; ext="jpg" gives an
+    on-disk JPEG training set (the contract CocoKeypoints consumes for
+    real COCO)."""
     import cv2
 
     from rtpose_tpu.skeleton import ORDER_COCO
 
-    img_dir = os.path.join(out_dir, "images")
+    img_dir = os.path.join(out_dir, img_subdir)
     os.makedirs(img_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
     images, annotations = [], []
     ann_id = 1
     for img_id in range(1, n_images + 1):
         img, kps = render_scene(rng, size, n_people=1 + rng.randint(max_people))
-        fname = f"synth_{img_id:04d}.png"
-        cv2.imwrite(os.path.join(img_dir, fname), img)
+        fname = f"synth_{img_id:04d}.{ext}"
+        cv2.imwrite(os.path.join(img_dir, fname), img,
+                    [cv2.IMWRITE_JPEG_QUALITY, jpeg_quality]
+                    if ext == "jpg" else [])
         images.append({"id": img_id, "file_name": fname,
                        "height": size, "width": size})
         for person in kps:
@@ -67,7 +74,7 @@ def write_coco_eval_set(out_dir, seed, n_images, size, max_people):
                          float(ys.max() - ys.min())],
             })
             ann_id += 1
-    ann_file = os.path.join(out_dir, "annotations.json")
+    ann_file = os.path.join(out_dir, ann_name)
     with open(ann_file, "w") as f:
         json.dump({"images": images, "annotations": annotations,
                    "categories": [{"id": 1, "name": "person"}]}, f)

@@ -62,3 +62,26 @@ def test_fused_multiscale_single_dispatch():
     pipe._multiscale_fn = counting
     pipe.run_multiscale(img, scales=(0.5, 1.0, 1.5))
     assert calls == [3]
+
+
+def test_multiscale_unaffected_by_device_resize():
+    """Regression: with device_resize on, the maps-only infer fn used by
+    the multi-scale paths must NOT re-resize the host-prepped per-scale
+    images back to input_size (which silently collapsed the TTA to
+    single-scale).  Multi-scale maps must be identical with and without
+    device_resize."""
+    model = get_model("vgg19", num_stages=1, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    img = (np.random.RandomState(1).rand(90, 70, 3) * 255).astype(np.uint8)
+    scales = (0.75, 1.0, 1.25)
+    plain = PosePipeline(model, params, input_size=56, flip=False)
+    resz = PosePipeline(model, params, input_size=56, flip=False,
+                        device_resize=True)
+    _, h0, p0, _ = plain.run_multiscale(img, scales)
+    _, h1, p1, _ = resz.run_multiscale(img, scales)
+    np.testing.assert_array_equal(h1, h0)
+    np.testing.assert_array_equal(p1, p0)
+    # and the per-scale maps genuinely differ from single-scale (TTA is
+    # doing something): compare vs the 1.0-only result
+    _, h_single, _, _ = resz.run_multiscale(img, (1.0,))
+    assert not np.array_equal(h1, h_single)
