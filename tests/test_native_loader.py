@@ -402,6 +402,24 @@ def test_train_cli_native_loader_rejects_rotation(coco_dir, tmp_path,
         main()
 
 
+def test_train_cli_rejects_unknown_loader(coco_dir, monkeypatch):
+    """A typo'd train.data_loader must fail fast with a clear message, not
+    fall through to some arbitrary branch."""
+    import sys
+
+    from rtpose_tpu.train.__main__ import main
+
+    img_dir, ann = coco_dir
+    monkeypatch.setattr(sys, "argv", [
+        "train", "--epochs", "1", "--set",
+        f'dataset.train_image_dir="{img_dir}"',
+        f'dataset.train_annotations=["{ann}"]',
+        'train.data_loader="natve"',
+    ])
+    with pytest.raises(SystemExit, match="unknown train.data_loader"):
+        main()
+
+
 def test_uint8_wire_format_on_sharded_mesh():
     """The uint8 {"u8", "window"} wire format must shard over a DP mesh
     exactly like the float canvas: run_epoch on the virtual 8-device mesh
