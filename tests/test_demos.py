@@ -12,6 +12,12 @@ def env(tmp_path):
     import os
     e = dict(os.environ)
     e["JAX_PLATFORMS"] = "cpu"
+    # This image's sitecustomize re-registers the tunnel TPU backend
+    # whenever PALLAS_AXON_POOL_IPS is set, clobbering JAX_PLATFORMS —
+    # the demo subprocess would then run on (or hang waiting for) the
+    # tunnel chip instead of CPU.  Unset the trigger so the child is
+    # genuinely CPU-only.
+    e.pop("PALLAS_AXON_POOL_IPS", None)
     return e
 
 

@@ -21,6 +21,8 @@ def test_dryrun_multichip_self_provisions():
     # a virtual 8-device mesh and still succeed.
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep sitecustomize from
+    # re-registering the tunnel backend over JAX_PLATFORMS
     env["XLA_FLAGS"] = " ".join(
         f for f in env.get("XLA_FLAGS", "").split()
         if "xla_force_host_platform_device_count" not in f)
