@@ -159,7 +159,7 @@ def main():
     # backend (measured 0.74 s -> 0.02 s; full bench ~10 min -> 173 s),
     # so repeat bench runs spend their time measuring, not compiling.
     from rtpose_tpu.utils.compile_cache import enable
-    enable(default_dir="/tmp/rtpose_jax_cache")
+    enable()  # shared default dir — one cache across bench/demos/eval
 
     from rtpose_tpu.models import get_model
     from rtpose_tpu.ops.decode import decode_poses

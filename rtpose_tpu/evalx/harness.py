@@ -196,10 +196,13 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
                 frames = []
                 for img_id in chunk:
                     info = coco.image_info(img_id)
-                    img = cv2.imread(os.path.join(image_dir,
-                                                  info["file_name"]))
+                    path = os.path.join(image_dir, info["file_name"])
+                    img = cv2.imread(path)
                     if img is None:
-                        raise FileNotFoundError(info["file_name"])
+                        # distinguish absent from present-but-undecodable
+                        if not os.path.exists(path):
+                            raise FileNotFoundError(path)
+                        raise IOError(f"could not decode image {path}")
                     frames.append(img)
                 q.put((chunk, frames))
         except BaseException as e:  # noqa: BLE001 - re-raised by consumer

@@ -237,7 +237,8 @@ class PosePipeline:
         self._decode_only = functools.partial(
             decode_poses, factor=downsample, thresh_heatmap=thresh_heatmap,
             max_peaks=max_peaks, max_people=max_people,
-            max_candidates=max_candidates, max_total_conns=max_total_conns)
+            max_candidates=max_candidates, max_total_conns=max_total_conns,
+            gaussian_filt=gaussian_filt)
         self.auto_retry = auto_retry
         caps = dict(RETRY_CAPS)
         caps.update(retry_caps or {})
@@ -250,14 +251,32 @@ class PosePipeline:
         people, _, _, _meta = self.run(image_bgr)
         return people
 
+    def _retry_if_truncated(self, people_host, heat, paf, meta):
+        """Single-frame truncation contract: when a fixed-shape decode cap
+        overflowed, re-decode the still-on-device maps at the raised caps
+        (one extra dispatch, no second forward) and record the outcome in
+        meta — the functional analogue of the reference's unbounded C++
+        vectors (pafprocess.cpp:24-43)."""
+        if self.auto_retry and bool(people_host.truncated):
+            people_host = jax.device_get(self._decode_retry(heat, paf))
+            meta["retried"] = True
+        meta["truncated"] = bool(people_host.truncated)
+        return people_host
+
     def _prep(self, image_bgr: np.ndarray):
         if self.device_resize:
             h, w = image_bgr.shape[:2]
-            if self.device_resize == "auto" and min(h, w) >= self.input_size:
+            if (self.device_resize == "auto"
+                    and min(h, w) >= self.input_size
+                    and self.input_size % self.downsample == 0):
                 # downscale regime: the host resize SHRINKS the frame, so
                 # shipping the resized/padded image is the smaller transfer.
                 # The device program still runs (identity resize + pad 0)
-                # on it correctly since min side == input_size.
+                # on it correctly since min side == input_size.  Requires
+                # input_size % downsample == 0: otherwise the host pad
+                # raises the min side above input_size and the in-graph
+                # program would re-resize the already-prepped frame while
+                # meta still describes the host geometry — ship raw then.
                 return self._prep_host(image_bgr)
             # ship the raw frame; the jitted program scales+pads in-graph.
             # Shape arithmetic mirrors crop_with_factor exactly (cv2's
@@ -292,15 +311,10 @@ class PosePipeline:
         w_up = heat.shape[1] * self.downsample
         # one bundled readback (issuing the field transfers together) —
         # per-field np.asarray pays a tunnel RTT each
-        people_host = jax.device_get(people_dev)
-        if self.auto_retry and bool(people_host.truncated):
-            # crowded frame overflowed a fixed-shape cap: one extra decode
-            # dispatch at the raised caps — the maps are still on device
-            people_host = jax.device_get(self._decode_retry(heat, paf))
-            meta["retried"] = True
+        people_host = self._retry_if_truncated(
+            jax.device_get(people_dev), heat, paf, meta)
         people = people_to_numpy(people_host, w_up, h_up)
         meta["upsampled"] = (h_up, w_up)
-        meta["truncated"] = bool(people_host.truncated)
         return people, np.asarray(heat), np.asarray(paf), meta
 
     def run_batch(self, images_bgr):
@@ -468,13 +482,9 @@ class PosePipeline:
         people_dev, heat_avg, paf_avg = fn(
             self.params, *(jnp.asarray(im) for im in ims))
         h_up, w_up = bh * self.downsample, bw * self.downsample
-        people_host = jax.device_get(people_dev)
-        if self.auto_retry and bool(people_host.truncated):
-            people_host = jax.device_get(
-                self._decode_retry(heat_avg, paf_avg))
-            meta["retried"] = True
+        people_host = self._retry_if_truncated(
+            jax.device_get(people_dev), heat_avg, paf_avg, meta)
         meta["upsampled"] = (h_up, w_up)
-        meta["truncated"] = bool(people_host.truncated)
         people = people_to_numpy(people_host, w_up, h_up)
         return people, np.asarray(heat_avg), np.asarray(paf_avg), meta
 
@@ -494,15 +504,12 @@ class PosePipeline:
                                   interpolation=cv2.INTER_CUBIC)
         heat_avg = heat_sum / len(scales)
         paf_avg = paf_sum / len(scales)
-        people_host = jax.device_get(
-            self._decode_only(jnp.asarray(heat_avg), jnp.asarray(paf_avg)))
-        if self.auto_retry and bool(people_host.truncated):
-            people_host = jax.device_get(self._decode_retry(
-                jnp.asarray(heat_avg), jnp.asarray(paf_avg)))
-            meta["retried"] = True
+        heat_d, paf_d = jnp.asarray(heat_avg), jnp.asarray(paf_avg)
+        people_host = self._retry_if_truncated(
+            jax.device_get(self._decode_only(heat_d, paf_d)),
+            heat_d, paf_d, meta)
         h_up, w_up = bh * self.downsample, bw * self.downsample
         meta["upsampled"] = (h_up, w_up)
-        meta["truncated"] = bool(people_host.truncated)
         people = people_to_numpy(people_host, w_up, h_up)
         return people, heat_avg, paf_avg, meta
 

@@ -141,22 +141,31 @@ class ImgPipe:
             _STD_PTR if normalize else None)
 
     def wait(self) -> None:
-        failed = self.wait_failed()
+        failed, total = self.wait_failed_counted()
         if failed:
+            more = (f" (+{total - len(failed)} more past the report cap)"
+                    if total > len(failed) else "")
             raise RuntimeError(
-                f"{len(failed)} imgpipe job(s) failed "
+                f"{total} imgpipe job(s) failed "
                 f"(corrupt/undecodable JPEG?); submit-order indices "
-                f"{failed[:16]}{'...' if len(failed) > 16 else ''}")
+                f"{failed[:16]}{'...' if len(failed) > 16 else ''}{more}")
 
     def wait_failed(self, cap: int = 1024) -> list:
         """Wait for all submitted jobs; return the submit-order indices
         (since the previous wait) of jobs that failed, sorted ascending.
         A failed job's output buffer is left zeroed — callers can name the
         offending file or skip/re-render the sample instead of aborting
-        blind."""
+        blind.  At most `cap` indices are reported; use
+        wait_failed_counted for the true total."""
+        return self.wait_failed_counted(cap)[0]
+
+    def wait_failed_counted(self, cap: int = 1024) -> tuple:
+        """Like wait_failed, but returns (indices[:cap], total_failed) so
+        a mass failure past the report cap is never mistaken for exactly
+        `cap` failures."""
         buf = (ctypes.c_int * cap)()
         n = self._lib.imgpipe_wait_all_failed(self._ctx, buf, cap)
-        return list(buf[:min(n, cap)])
+        return list(buf[:min(n, cap)]), int(n)
 
     def close(self) -> None:
         if self._ctx:

@@ -15,11 +15,15 @@ from __future__ import annotations
 
 import os
 
+_enabled = False
+
 
 def enable(default_dir: str = None) -> None:
-    """Idempotent; call before the first jit dispatch (later calls are
-    no-ops once a backend is live, matching jax.config semantics)."""
-    if os.environ.get("RTPOSE_NO_COMPILE_CACHE"):
+    """Idempotent: the first call in a process pins the cache dir and
+    later calls are true no-ops — so e.g. PosePipeline's internal enable()
+    cannot silently redirect a dir an entry point already chose."""
+    global _enabled
+    if _enabled or os.environ.get("RTPOSE_NO_COMPILE_CACHE"):
         return
     import jax
 
@@ -31,5 +35,6 @@ def enable(default_dir: str = None) -> None:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _enabled = True
     except (OSError, AttributeError):  # read-only fs / old jax: run uncached
         pass

@@ -111,3 +111,27 @@ def test_auto_mode_ships_raw_only_when_upscaling():
     pa, ha, _, ma = pipe.run(big)
     assert mh["upsampled"] == ma["upsampled"]
     np.testing.assert_allclose(ha, hh, atol=1e-5)
+
+
+def test_auto_mode_nondivisible_input_size_ships_raw():
+    """Regression: with input_size % downsample != 0 the downscale
+    shortcut is invalid — the host pad raises the min side above
+    input_size, so the in-graph program would re-resize the already
+    prepped frame while meta still described the host geometry.  The
+    auto path must ship raw instead, and end-to-end results must match
+    the plain host pipeline."""
+    model = get_model("vgg19", num_stages=1, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    pipe = PosePipeline(model, params, input_size=60, flip=False,
+                        device_resize="auto")
+    rng = np.random.RandomState(5)
+    big = (rng.rand(120, 90, 3) * 255).astype(np.uint8)   # downscale regime
+    raw, meta = pipe._prep(big)
+    assert raw.shape == big.shape                         # raw ship
+    host = PosePipeline(model, params, input_size=60, flip=False)
+    ph, hh, fh, mh = host.run(big)
+    pa, ha, fa, ma = pipe.run(big)
+    assert mh["upsampled"] == ma["upsampled"]
+    assert mh["scale"] == pytest.approx(ma["scale"])
+    np.testing.assert_allclose(ha, hh, atol=0.02)
+    np.testing.assert_allclose(fa, fh, atol=0.02)

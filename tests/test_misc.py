@@ -136,3 +136,26 @@ def test_profiler_trace_smoke(tmp_path):
     for root, _dirs, files in os.walk(tmp_path):
         found.extend(files)
     assert found, "no trace artifacts written"
+
+
+def test_compile_cache_enable_first_call_wins(tmp_path, monkeypatch):
+    """enable() is idempotent: the first call in a process pins the cache
+    dir; later calls (e.g. PosePipeline's internal enable) are no-ops and
+    cannot silently redirect it."""
+    import jax
+
+    from rtpose_tpu.utils import compile_cache
+
+    monkeypatch.setattr(compile_cache, "_enabled", False)
+    monkeypatch.delenv("RTPOSE_NO_COMPILE_CACHE", raising=False)
+    monkeypatch.delenv("RTPOSE_COMPILE_CACHE_DIR", raising=False)
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        first = str(tmp_path / "first")
+        compile_cache.enable(first)
+        assert jax.config.jax_compilation_cache_dir == first
+        compile_cache.enable(str(tmp_path / "second"))
+        assert jax.config.jax_compilation_cache_dir == first
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+        compile_cache._enabled = False

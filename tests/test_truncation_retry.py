@@ -177,3 +177,22 @@ def test_eval_harness_zero_silent_truncations(tmp_path):
     assert stats["frames_retried"] == 1       # only the crowded image
     assert stats["frames_truncated"] == 0     # nothing silently dropped
     assert stats["AP"] > 0.9, stats
+
+
+def test_decode_paths_share_gaussian_filt():
+    """Regression: the multiscale decode (`_decode_only`) silently dropped
+    gaussian_filt while the truncation retry applied it — same maps would
+    refine differently depending on whether the crowd-retry fired.  All
+    decode partials must carry the pipeline's gaussian_filt setting."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtpose_tpu.models import get_model
+
+    model = get_model("vgg19", num_stages=1, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    for gf in (False, True):
+        pipe = PosePipeline(model, params, input_size=56, flip=False,
+                            gaussian_filt=gf)
+        assert pipe._decode_only.keywords["gaussian_filt"] is gf
+        assert pipe._decode_retry.keywords["gaussian_filt"] is gf
