@@ -28,7 +28,8 @@ from ..models.common import ModelOutput
 from ..ops.decode import decode_poses, decode_poses_batch, people_to_numpy
 from ..ops.grouping import People
 from ..skeleton import FLIP_HEAT, FLIP_PAF, NUM_LIMBS
-from .preprocess import crop_with_factor, normalize_device
+from .preprocess import (crop_with_factor, normalize_device,
+                         scale_pad_geometry)
 
 _FLIP_PAF_ARR = np.array(FLIP_PAF)
 _FLIP_HEAT_ARR = np.array(FLIP_HEAT)
@@ -85,15 +86,16 @@ def make_infer_fn(model, *, preprocess_mode: str = "vgg",
     @jax.jit
     def infer(params, image_u8):
         if device_resize_to:
+            # shapes here are trace-time constants; the same helper computes
+            # the host-side meta (PosePipeline._prep) so they cannot drift
             h, w = image_u8.shape[0], image_u8.shape[1]
-            scale = float(device_resize_to) / min(h, w)
-            rh, rw = int(round(h * scale)), int(round(w * scale))
+            _, rh, rw, ph, pw = scale_pad_geometry(
+                h, w, device_resize_to, downsample)
             from ..ops.resize import resize_bilinear
             x = resize_bilinear(image_u8.astype(jnp.float32), (rh, rw))
             # zero-pad in RAW pixel space (black), like the reference's
             # crop_with_factor (im_transform.py:119-134), THEN normalize
-            x = jnp.pad(x, ((0, -rh % downsample),
-                            (0, -rw % downsample), (0, 0)))
+            x = jnp.pad(x, ((0, ph - rh), (0, pw - rw), (0, 0)))
             image = normalize_device(x, preprocess_mode)
         else:
             image = normalize_device(image_u8, preprocess_mode)
@@ -278,13 +280,10 @@ class PosePipeline:
                 # program would re-resize the already-prepped frame while
                 # meta still describes the host geometry — ship raw then.
                 return self._prep_host(image_bgr)
-            # ship the raw frame; the jitted program scales+pads in-graph.
-            # Shape arithmetic mirrors crop_with_factor exactly (cv2's
-            # dsize uses cvRound = round-half-to-even, like python round).
-            scale = float(self.input_size) / min(h, w)
-            rh, rw = int(round(h * scale)), int(round(w * scale))
-            ph = rh + (-rh % self.downsample)
-            pw = rw + (-rw % self.downsample)
+            # ship the raw frame; the jitted program scales+pads in-graph
+            # with the SAME shape arithmetic (shared helper)
+            scale, rh, rw, ph, pw = scale_pad_geometry(
+                h, w, self.input_size, self.downsample)
             meta = {"scale": scale, "real_shape": (rh, rw, 3),
                     "padded_shape": (ph, pw, 3)}
             return np.ascontiguousarray(image_bgr, np.uint8), meta

@@ -35,6 +35,20 @@ def factor_closest(num: float, factor: int, is_ceil: bool = True) -> int:
     return int(fn(float(num) / factor)) * factor
 
 
+def scale_pad_geometry(h: int, w: int, dest_size: int, factor: int = 8
+                       ) -> Tuple[float, int, int, int, int]:
+    """crop_with_factor's shape arithmetic without touching pixels:
+    (scale, resized_h, resized_w, padded_h, padded_w).
+
+    Shared by the host meta computation and the in-graph device resize
+    (infer/pipeline.py) so the two can never drift: cv2's dsize uses
+    cvRound = round-half-to-even, like python round().
+    """
+    scale = float(dest_size) / min(h, w)
+    rh, rw = int(round(h * scale)), int(round(w * scale))
+    return scale, rh, rw, rh + (-rh % factor), rw + (-rw % factor)
+
+
 def crop_with_factor(im: np.ndarray, dest_size: int, factor: int = 8,
                      is_ceil: bool = True
                      ) -> Tuple[np.ndarray, float, Tuple[int, int, int]]:
