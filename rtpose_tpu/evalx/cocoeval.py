@@ -71,11 +71,34 @@ class _ImgEval:
     dt_scores: np.ndarray    # (D,)
 
 
+def _image_oks(gts: List[dict], dts: List[dict], sigmas: np.ndarray):
+    """Range-independent per-image precomputation: detections sorted by
+    score (capped at MAX_DETS) and the (D, G) OKS matrix in ORIGINAL gt
+    order.  pycocotools computes ious once per image (computeIoU) and
+    reuses them across the area ranges; computing them per range would
+    triple the dominant Python-level eval cost for identical output."""
+    dt_scores = np.array([d.get("score", 0.0) for d in dts])
+    d_order = np.argsort(-dt_scores, kind="stable")[:MAX_DETS]
+    dts = [dts[i] for i in d_order]
+    dt_scores = dt_scores[d_order]
+    ious = np.zeros((len(dts), len(gts)))
+    for di, dt in enumerate(dts):
+        dkp = np.asarray(dt["keypoints"], float).reshape(-1, 3)
+        for gi, gt in enumerate(gts):
+            gkp = np.asarray(gt["keypoints"], float).reshape(-1, 3)
+            ious[di, gi] = compute_oks(dkp, gkp, gt.get("area", 0.0),
+                                       gt.get("bbox"), sigmas)
+    return dts, dt_scores, ious
+
+
 def _evaluate_image(gts: List[dict], dts: List[dict],
                     area_rng: Tuple[float, float],
-                    sigmas: np.ndarray) -> Optional[_ImgEval]:
+                    sigmas: np.ndarray,
+                    precomp=None) -> Optional[_ImgEval]:
     if not gts and not dts:
         return None
+    if precomp is None:
+        precomp = _image_oks(gts, dts, sigmas)
     gt_ignore_base = np.array(
         [bool(g.get("iscrowd", 0)) or g.get("num_keypoints", 0) == 0
          for g in gts], bool)
@@ -88,19 +111,11 @@ def _evaluate_image(gts: List[dict], dts: List[dict],
     gts = [gts[i] for i in g_order]
     gt_ig = gt_ig[g_order]
 
-    dt_scores = np.array([d.get("score", 0.0) for d in dts])
-    d_order = np.argsort(-dt_scores, kind="stable")[:MAX_DETS]
-    dts = [dts[i] for i in d_order]
-    dt_scores = dt_scores[d_order]
+    dts, dt_scores, ious0 = precomp
+    # permute the original-gt-order OKS columns into this range's order
+    ious = ious0[:, g_order]
 
     G, D, T = len(gts), len(dts), len(OKS_THRESHOLDS)
-    ious = np.zeros((D, G))
-    for di, dt in enumerate(dts):
-        dkp = np.asarray(dt["keypoints"], float).reshape(-1, 3)
-        for gi, gt in enumerate(gts):
-            gkp = np.asarray(gt["keypoints"], float).reshape(-1, 3)
-            ious[di, gi] = compute_oks(dkp, gkp, gt.get("area", 0.0),
-                                       gt.get("bbox"), sigmas)
 
     dt_m = np.zeros((T, D), dtype=np.int64)
     gt_m = np.zeros((T, G), dtype=np.int64)
@@ -209,6 +224,7 @@ def evaluate_keypoints(gt_anns_by_image: Dict[int, List[dict]],
     # the "unmatched" sentinel (cocoeval.py evaluateImg), so a GT whose
     # id is 0 can never count as matched.  Real COCO ids are 1-based;
     # warn loudly instead of silently mis-scoring synthetic sets.
+    warned_nkp = False
     for img_id in img_ids:
         for g in gt_anns_by_image.get(img_id, []):
             if g.get("id") == 0:
@@ -218,6 +234,16 @@ def evaluate_keypoints(gt_anns_by_image: Dict[int, List[dict]],
                     "sentinel in the COCO matching protocol and this "
                     "annotation will never register as matched; use "
                     "1-based annotation ids")
+            if "num_keypoints" not in g and not warned_nkp:
+                # num_keypoints == 0 means "ignore this gt" in the COCO
+                # protocol; a missing field would silently turn the WHOLE
+                # eval into ignores and return the -1 sentinels
+                import warnings
+                warnings.warn(
+                    "GT annotation without a num_keypoints field: it will "
+                    "be treated as ignore (num_keypoints=0); set "
+                    "num_keypoints to the count of labeled keypoints")
+                warned_nkp = True
     # assign ids to detections (1-based, globally unique)
     next_id = 1
     for img_id in img_ids:
@@ -225,11 +251,18 @@ def evaluate_keypoints(gt_anns_by_image: Dict[int, List[dict]],
             d.setdefault("id", next_id)
             next_id += 1
 
+    # OKS matrices are area-range-independent: compute once per image and
+    # reuse across the 3 ranges (pycocotools computeIoU/evaluateImg split)
+    precomp = {i: _image_oks(gt_anns_by_image.get(i, []),
+                             dt_by_image.get(i, []), sigmas)
+               for i in img_ids}
+
     stats: Dict[str, float] = {}
     per_area: Dict[str, Dict[str, np.ndarray]] = {}
     for name, rng in AREA_RANGES.items():
         evals = [_evaluate_image(gt_anns_by_image.get(i, []),
-                                 dt_by_image.get(i, []), rng, sigmas)
+                                 dt_by_image.get(i, []), rng, sigmas,
+                                 precomp=precomp[i])
                  for i in img_ids]
         per_area[name] = _accumulate(evals)
 

@@ -59,6 +59,17 @@ def append_result(image_id: int, people: List[Dict[str, Any]],
         })
 
 
+def _imread_checked(path: str):
+    """cv2.imread that distinguishes a missing file from a corrupt one."""
+    import cv2
+    img = cv2.imread(path)
+    if img is None:
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        raise IOError(f"could not decode image {path}")
+    return img
+
+
 def run_eval(image_dir: str, ann_file: str, pipeline: PosePipeline, *,
              vis_dir: Optional[str] = None,
              img_ids: Optional[Sequence[int]] = None,
@@ -81,10 +92,7 @@ def run_eval(image_dir: str, ann_file: str, pipeline: PosePipeline, *,
     n_retried = n_truncated = 0
     for i, img_id in enumerate(img_ids):
         info = coco.image_info(img_id)
-        path = os.path.join(image_dir, info["file_name"])
-        img = cv2.imread(path)
-        if img is None:
-            raise FileNotFoundError(path)
+        img = _imread_checked(os.path.join(image_dir, info["file_name"]))
         people, heat, _paf, meta = pipeline.run(img)
         n_retried += bool(meta.get("retried"))
         n_truncated += bool(meta["truncated"])
@@ -149,16 +157,19 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
     if vis_dir:
         os.makedirs(vis_dir, exist_ok=True)
 
-    # group by the padded shape crop_with_factor will produce
+    # group by the padded shape crop_with_factor will produce — the SAME
+    # arithmetic the pipeline uses (shared helper; cv2 resize rounds the
+    # dsize, so a ceil-based re-derivation here would mispredict ~9% of
+    # aspect ratios and silently fragment batches)
     from collections import defaultdict
+
+    from ..infer.preprocess import scale_pad_geometry
     buckets = defaultdict(list)
     for img_id in img_ids:
         info = coco.image_info(img_id)
-        h, w = info["height"], info["width"]
-        scale = pipeline.input_size / min(h, w)
-        import math
-        ph = math.ceil(h * scale / pipeline.downsample) * pipeline.downsample
-        pw = math.ceil(w * scale / pipeline.downsample) * pipeline.downsample
+        _, _, _, ph, pw = scale_pad_geometry(
+            info["height"], info["width"], pipeline.input_size,
+            pipeline.downsample)
         buckets[(ph, pw)].append(img_id)
 
     outputs: List[dict] = []
@@ -186,29 +197,35 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
     import queue
     import threading
 
-    def read_chunks(ids, q):
+    def read_chunks(ids, q, stop):
         """Decode-ahead producer: cv2.imread releases the GIL, so the next
         chunk decodes while the main thread blocks on the previous chunk's
-        device readback (the dominant wait on the tunnel backend)."""
+        device readback (the dominant wait on the tunnel backend).  `stop`
+        lets a failing consumer unblock us — otherwise an exception on the
+        device side would leave this thread (and its decoded frames)
+        parked forever on a full queue."""
+        def put(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=1.0)
+                    return
+                except queue.Full:
+                    pass
+
         try:
             for i in range(0, len(ids), batch_size):
+                if stop.is_set():
+                    return
                 chunk = ids[i:i + batch_size]
-                frames = []
-                for img_id in chunk:
-                    info = coco.image_info(img_id)
-                    path = os.path.join(image_dir, info["file_name"])
-                    img = cv2.imread(path)
-                    if img is None:
-                        # distinguish absent from present-but-undecodable
-                        if not os.path.exists(path):
-                            raise FileNotFoundError(path)
-                        raise IOError(f"could not decode image {path}")
-                    frames.append(img)
-                q.put((chunk, frames))
+                frames = [
+                    _imread_checked(os.path.join(
+                        image_dir, coco.image_info(img_id)["file_name"]))
+                    for img_id in chunk]
+                put((chunk, frames))
         except BaseException as e:  # noqa: BLE001 - re-raised by consumer
-            q.put(e)
+            put(e)
         finally:
-            q.put(None)
+            put(None)
 
     for shape, ids in sorted(buckets.items(),
                              key=lambda kv: -len(kv[1])):
@@ -216,22 +233,27 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
         # forward overlap chunk k's readback + result conversion (same
         # shape -> same compiled program, no pipeline-breaking recompile)
         q: "queue.Queue" = queue.Queue(maxsize=2)
-        t = threading.Thread(target=read_chunks, args=(ids, q), daemon=True)
+        stop = threading.Event()
+        t = threading.Thread(target=read_chunks, args=(ids, q, stop),
+                             daemon=True)
         t.start()
-        pending = None
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            chunk, frames = item
-            ticket = pipeline.run_batch_submit(frames)
+        try:
+            pending = None
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                chunk, frames = item
+                ticket = pipeline.run_batch_submit(frames)
+                if pending is not None:
+                    drain(*pending)
+                pending = (chunk, frames, ticket)
             if pending is not None:
                 drain(*pending)
-            pending = (chunk, frames, ticket)
-        if pending is not None:
-            drain(*pending)
+        finally:
+            stop.set()
         print(f"bucket {shape}: {len(ids)} images done "
               f"({done}/{len(img_ids)})")
 

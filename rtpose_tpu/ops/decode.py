@@ -74,10 +74,12 @@ def people_to_numpy(people: People, width_up: int, height_up: int):
     the reference Human/BodyPart contract (paf_to_pose.py:390-404).
     """
     import numpy as np
-    coords = np.asarray(people.coords)
-    pscore = np.asarray(people.part_score)
-    score = np.asarray(people.score)
-    valid = np.asarray(people.valid)
+    # one bundled readback: per-field np.asarray on a device pytree would
+    # pay a full tunnel RTT per field (CLAUDE.md readback discipline)
+    coords, pscore, score, valid = jax.device_get(
+        (people.coords, people.part_score, people.score, people.valid))
+    coords, pscore = np.asarray(coords), np.asarray(pscore)
+    score, valid = np.asarray(score), np.asarray(valid)
     out = []
     for i in range(coords.shape[0]):
         if not valid[i]:

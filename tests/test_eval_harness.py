@@ -134,3 +134,31 @@ def test_run_eval_batched(coco_val):
     assert "AP" in stats
     # vis images written from the batched path too
     assert len(list(vis.iterdir())) == 2
+
+
+def test_run_eval_batched_consumer_error_unblocks_producer(coco_val):
+    """Regression: if the device side raises mid-eval, the decode-ahead
+    producer thread must not stay parked forever on the full queue
+    (leaking the thread and its decoded frames)."""
+    import threading
+    import time
+
+    from rtpose_tpu.evalx.harness import run_eval_batched
+
+    img_dir, ann_file, _tmp = coco_val
+    model = get_model("vgg19", num_stages=1, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    pipe = PosePipeline(model, params, input_size=56, flip=False)
+
+    def boom(frames):
+        raise RuntimeError("device fell over")
+
+    pipe.run_batch_submit = boom
+    before = threading.active_count()
+    with pytest.raises(RuntimeError, match="device fell over"):
+        run_eval_batched(img_dir, ann_file, pipe, batch_size=1)
+    # the stop event lets the producer drain out within its 1 s put timeout
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before
