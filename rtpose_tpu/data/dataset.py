@@ -245,7 +245,10 @@ class Loader:
     def __init__(self, dataset: CocoKeypoints, batch_size: int,
                  shuffle: bool = True, num_workers: int = 4,
                  seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 4):
+                 prefetch: int = 4, deterministic: bool = False):
+        # deterministic=True: every __iter__ yields identical batches
+        # (epoch is not folded into the rng), so a val loss is comparable
+        # across epochs instead of moving with per-epoch crop/jitter noise
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -253,6 +256,7 @@ class Loader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.deterministic = deterministic
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -262,8 +266,9 @@ class Loader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))
+        epoch = 0 if self.deterministic else self.epoch
         rng = np.random.Generator(
-            np.random.Philox(self.seed + self.epoch))
+            np.random.Philox(self.seed + epoch))
         if self.shuffle:
             rng.shuffle(order)
         self.epoch += 1
@@ -290,7 +295,7 @@ class Loader:
             # never posts its sentinel would block the iterator forever
             try:
                 wrng = np.random.Generator(
-                    np.random.Philox([self.seed, self.epoch, worker_id]))
+                    np.random.Philox([self.seed, epoch, worker_id]))
                 for bi in range(worker_id, len(batches), self.num_workers):
                     if stop.is_set():
                         return

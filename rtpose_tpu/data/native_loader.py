@@ -62,7 +62,12 @@ def sample_aug(rng: np.random.Generator, w: int, h: int, *,
         p.brightness = 1.0 + (rng.random() * 2 - 1) * color_jitter
         p.contrast = 1.0 + (rng.random() * 2 - 1) * color_jitter
         p.saturation = 1.0 + (rng.random() * 2 - 1) * color_jitter
-        p.hue_shift = int((rng.random() * 2 - 1) * hue * 255) % 256
+        if hue:
+            # hue=0 must keep the -1 sentinel (skip the HSV round trip),
+            # matching ColorJitter's `if self.hue:` — a zero-shift round
+            # trip is NOT identity under uint8 HSV quantization.  Skipping
+            # the draw also keeps the rng stream aligned with the PIL path.
+            p.hue_shift = int((rng.random() * 2 - 1) * hue * 255) % 256
     if jpeg_prob and rng.random() <= jpeg_prob:
         p.jpeg_quality = jpeg_quality
     if grayscale_prob and rng.random() <= grayscale_prob:
@@ -121,7 +126,7 @@ class NativeLoader:
     def __init__(self, dataset: CocoKeypoints, batch_size: int,
                  shuffle: bool = True, threads: int = 8, seed: int = 0,
                  drop_last: bool = True, prefetch: int = 4,
-                 uint8_output: bool = False,
+                 uint8_output: bool = False, deterministic: bool = False,
                  aug_kwargs: Dict = None):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -129,6 +134,10 @@ class NativeLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # deterministic=True: every __iter__ yields identical batches
+        # (epoch not folded into the rng) — val losses stay comparable
+        # across epochs instead of moving with crop/jitter noise
+        self.deterministic = deterministic
         # uint8_output: emit raw (un-normalized) uint8 canvases — 4x fewer
         # bytes to ship host->device; the jitted train step normalizes
         # in-graph when it sees a uint8 batch (train/trainer.py loss_fn)
@@ -202,7 +211,8 @@ class NativeLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))
-        rng = np.random.Generator(np.random.Philox(self.seed + self.epoch))
+        epoch = 0 if self.deterministic else self.epoch
+        rng = np.random.Generator(np.random.Philox(self.seed + epoch))
         if self.shuffle:
             rng.shuffle(order)
         self.epoch += 1

@@ -164,6 +164,11 @@ class Crop(Transform):
         sample.keypoints = kp
         meta = dict(sample.meta)
         meta["offset"] = meta["offset"] + np.array((x_off, y_off), float)
+        # reference-exact valid-area update (transforms.py:277-281),
+        # INCLUDING its quirk: the size row subtracts the crop offset even
+        # when the valid-area origin is nonzero, over-shrinking the region
+        # if Crop runs after another origin-shifting transform.  Kept
+        # verbatim — train-time masking parity beats geometric nicety here.
         va = meta["valid_area"].copy()
         va[:2] = np.maximum(0.0, va[:2] - (x_off, y_off))
         va[2:] = np.maximum(0.0, va[2:] - (x_off, y_off))

@@ -70,11 +70,14 @@ def main():
                 square_edge=cfg.dataset.image_size,
                 scale_range=(cfg.dataset.scale_min, cfg.dataset.scale_max),
                 hflip_prob=cfg.dataset.hflip_prob))
-        # val = deterministic identity aug (Rescale(1.0)+Crop+CenterPad),
-        # expressible in the same kernel with all sampling disabled
+        # val: photometrics/flip/scale sampling disabled; crop offsets for
+        # oversized images still sample, so deterministic=True pins them to
+        # the same values every epoch (comparable val losses) and
+        # drop_last=False keeps sets smaller than a batch evaluable
         val_loader = NativeLoader(
             val_ds, cfg.train.batch_size, shuffle=False,
             threads=cfg.train.data_workers, uint8_output=True,
+            deterministic=True, drop_last=False,
             aug_kwargs=dict(
                 square_edge=cfg.dataset.image_size,
                 scale_range=1.0, hflip_prob=0.0, color_jitter=0.0,
@@ -83,8 +86,12 @@ def main():
         train_loader = Loader(train_ds, cfg.train.batch_size,
                               num_workers=cfg.train.data_workers,
                               seed=cfg.train.seed)
+        # deterministic: same crops/jitter every epoch so the plateau/best
+        # tracking follows the model, not per-epoch aug noise; no drop_last
+        # so val sets smaller than a batch still evaluate
         val_loader = Loader(val_ds, cfg.train.batch_size, shuffle=False,
-                            num_workers=cfg.train.data_workers)
+                            num_workers=cfg.train.data_workers,
+                            deterministic=True, drop_last=False)
 
     trainer = Trainer(cfg)
     if args.vgg_weights:

@@ -33,18 +33,26 @@ class ReduceLROnPlateau:
         return metric < self.best - self.threshold
 
     def step(self, metric: float) -> float:
-        """Feed a validation metric (lower=better); returns current lr."""
+        """Feed a validation metric (lower=better); returns current lr.
+
+        Exact torch order of operations: cooldown decrements EVERY epoch
+        (and suppresses bad-epoch counting while active) — decrementing it
+        only on non-improved epochs would let alternating improve/plateau
+        epochs stretch the cooldown indefinitely and delay LR drops vs the
+        reference schedule.
+        """
         if self._improved(metric):
             self.best = metric
             self.num_bad = 0
-        elif self.cooldown_left > 0:
-            self.cooldown_left -= 1
         else:
             self.num_bad += 1
-            if self.num_bad > self.patience:
-                self.lr = max(self.lr * self.factor, self.min_lr)
-                self.num_bad = 0
-                self.cooldown_left = self.cooldown
+        if self.cooldown_left > 0:
+            self.cooldown_left -= 1
+            self.num_bad = 0
+        if self.num_bad > self.patience:
+            self.lr = max(self.lr * self.factor, self.min_lr)
+            self.num_bad = 0
+            self.cooldown_left = self.cooldown
         return self.lr
 
     def state_dict(self) -> dict:

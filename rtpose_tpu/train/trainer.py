@@ -16,11 +16,9 @@ The TPU-native analogue of reference train/train_VGG19.py:
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-import os
 import time
-from typing import Any, Dict, Iterable, Optional, Tuple
+from typing import Any, Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +29,6 @@ from flax import struct
 from ..config import Config
 from ..data.gt import _device_impl
 from ..models import get_model
-from ..models.common import ModelOutput
 from ..parallel import mesh as pmesh
 from .loss import stagewise_mse
 from .schedule import ReduceLROnPlateau, freeze_mask
@@ -163,10 +160,13 @@ def make_train_step(model, tx, cfg: Config, gt_backend: str = "xla",
             lambda n, o: jnp.where(finite, n, o), new, old)
         params = select(params_new, state.params)
         opt_state = select(opt_state_new, state.opt_state)
+        # model_state too: a NaN batch's BatchNorm running stats would
+        # otherwise poison every subsequent eval forward permanently
+        model_state = select(new_model_state, state.model_state)
         logs["loss"] = loss
         logs["skipped_nonfinite"] = (~finite).astype(jnp.float32)
         return state.replace(step=state.step + 1, params=params,
-                             model_state=new_model_state,
+                             model_state=model_state,
                              opt_state=opt_state), logs
 
     def eval_step(state: TrainState, images, keypoints, mask):
@@ -358,6 +358,11 @@ class Trainer:
             train_logs = self.run_epoch(train_loader, train=True,
                                         ckpt=ckpt)
             val_logs = self.run_epoch(val_loader, train=False)
+            if "loss" not in val_logs:
+                raise RuntimeError(
+                    "validation epoch produced no batches — val set "
+                    "smaller than batch_size with drop_last=True? build "
+                    "the val loader with drop_last=False")
             val_loss = val_logs["loss"]
             lr = self.plateau.step(val_loss)
             self.state = self.state.replace(
@@ -365,7 +370,13 @@ class Trainer:
             is_best = val_loss < self.best_val
             self.best_val = min(val_loss, self.best_val)
             self.epoch += 1
-            ckpt.save(self.state, step=self.epoch, is_best=is_best,
+            # epoch-end checkpoints use the GLOBAL optimizer step, the same
+            # namespace as the mid-epoch elastic saves in run_epoch — a
+            # per-epoch counter would collide with / sort below mid-epoch
+            # step numbers, making restore_latest resume the wrong state
+            # and _gc delete the newest epoch-end save
+            ckpt.save(self.state, step=int(np.asarray(self.state.step)),
+                      is_best=is_best,
                       meta={"epoch": self.epoch, "best_val": self.best_val,
                             "plateau": self.plateau.state_dict(),
                             "val_loss": val_loss,

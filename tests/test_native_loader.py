@@ -457,3 +457,39 @@ def test_uint8_wire_format_on_sharded_mesh():
     logs_u8 = tr.run_epoch([batch_u8], train=False, log_every=100)
     logs_f32 = tr.run_epoch([batch_f32], train=False, log_every=100)
     np.testing.assert_allclose(logs_u8["loss"], logs_f32["loss"], rtol=1e-6)
+
+
+def test_sample_aug_hue_zero_keeps_sentinel():
+    """Regression: hue=0 with color_jitter>0 must keep the -1 'no HSV
+    round trip' sentinel — a zero-shift round trip is lossy under uint8
+    HSV quantization, diverging from the PIL path which skips adjust_hue
+    entirely when hue is 0."""
+    from rtpose_tpu.data.native_loader import sample_aug
+
+    rng = np.random.Generator(np.random.Philox(7))
+    p = sample_aug(rng, 200, 150, color_jitter=0.1, hue=0.0)
+    assert p.hue_shift == -1
+    rng = np.random.Generator(np.random.Philox(7))
+    p = sample_aug(rng, 200, 150, color_jitter=0.1, hue=0.1)
+    assert p.hue_shift != -1
+
+
+def test_native_loader_deterministic_val(coco_dir):
+    """deterministic=True: every __iter__ yields identical batches (crop
+    offsets for oversized images included), so val losses are comparable
+    across epochs."""
+    from rtpose_tpu.data.dataset import CocoKeypoints
+    from rtpose_tpu.data.native_loader import NativeLoader
+
+    img_dir, ann = coco_dir
+    ds = CocoKeypoints(img_dir, ann, input_size=48, stride=8)
+    loader = NativeLoader(ds, 2, shuffle=False, threads=2,
+                          deterministic=True, drop_last=False,
+                          aug_kwargs=dict(square_edge=48, scale_range=1.0,
+                                          hflip_prob=0.0, color_jitter=0.0,
+                                          jpeg_prob=0.0, grayscale_prob=0.0))
+    e1 = [b["image"].copy() for b in loader]
+    e2 = [b["image"].copy() for b in loader]
+    assert len(e1) == len(e2) and len(e1) > 0
+    for a, b in zip(e1, e2):
+        np.testing.assert_array_equal(a, b)

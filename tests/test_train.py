@@ -173,3 +173,71 @@ def test_mid_epoch_checkpointing(tmp_path):
     assert restored is not None
     _state, meta = restored
     assert meta["mid_epoch"] is True
+
+
+def test_nonfinite_batch_protects_batchnorm_state():
+    """Regression: the non-finite guard must also revert model_state — a
+    NaN batch's BatchNorm running stats would otherwise poison every
+    subsequent eval forward permanently."""
+    cfg = _tiny_cfg()
+    cfg.model.name = "hourglass"
+    cfg.model.num_stages = 1
+    cfg.model.downsample = 4          # hourglass outputs at stride 4
+    cfg.dataset.sigma = 4.416
+    cfg.train.freeze_base_epochs = 0
+    tr = Trainer(cfg)
+    rng = np.random.RandomState(0)
+    good = _fake_batch(rng, batch=8, size=64)
+    gy = 64 // cfg.model.downsample
+    mask = np.ones((8, gy, gy, 1), np.float32)
+    tr.state, logs = tr.train_step(tr.state, jnp.asarray(good["image"]),
+                                   jnp.asarray(good["keypoints"]),
+                                   jnp.asarray(mask))
+    assert float(logs["skipped_nonfinite"]) == 0.0
+    state_before = jax.tree_util.tree_map(np.asarray, tr.state.model_state)
+    bad = np.full_like(good["image"], np.nan)
+    tr.state, logs = tr.train_step(tr.state, jnp.asarray(bad),
+                                   jnp.asarray(good["keypoints"]),
+                                   jnp.asarray(mask))
+    assert float(logs["skipped_nonfinite"]) == 1.0
+    state_after = jax.tree_util.tree_map(np.asarray, tr.state.model_state)
+    leaves_b = jax.tree_util.tree_leaves(state_before)
+    leaves_a = jax.tree_util.tree_leaves(state_after)
+    assert leaves_b, "hourglass must carry batch_stats"
+    for b, a in zip(leaves_b, leaves_a):
+        assert np.isfinite(a).all()
+        np.testing.assert_array_equal(a, b)
+
+
+def test_epoch_and_mid_epoch_checkpoints_share_step_namespace(tmp_path):
+    """Regression: fit()'s epoch-end checkpoints must use the GLOBAL
+    optimizer step like the mid-epoch saves — a per-epoch counter sorts
+    below mid-epoch step numbers, so restore_latest resumed stale state
+    and _gc deleted the newest epoch-end save."""
+    cfg = _tiny_cfg(tmp_path)
+    cfg.train.freeze_base_epochs = 0
+    cfg.train.checkpoint_every_steps = 2
+    cfg.train.epochs = 1
+    tr = Trainer(cfg)
+    batch = _fake_batch(np.random.RandomState(5))
+    loader = [batch, batch, batch]
+    tr.fit(loader, [batch], epochs=1)
+    from rtpose_tpu.train.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path))
+    steps = mgr._steps()
+    # mid-epoch save at step 2 and epoch-end save at global step 3
+    assert steps == [2, 3], steps
+    _state, meta = mgr.restore_latest(tr.state)
+    assert meta["epoch"] == 1
+    assert not meta.get("mid_epoch", False)
+
+
+def test_plateau_cooldown_decrements_on_improved_epochs():
+    """torch parity: cooldown expires with wall-clock epochs, improved or
+    not — alternating improve/plateau epochs must not stretch it."""
+    s = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=0, cooldown=2)
+    s.step(1.0)
+    assert s.step(2.0) == 0.5     # bad > patience=0 -> drop, cooldown=2
+    assert s.step(0.5) == 0.5     # improves; cooldown 2 -> 1
+    assert s.step(0.4) == 0.5     # improves; cooldown 1 -> 0
+    assert s.step(2.0) == 0.25    # cooldown over: bad epoch drops again
