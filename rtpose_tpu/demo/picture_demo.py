@@ -34,9 +34,16 @@ def build_pipeline(args, mesh=None):
         params = jax.tree_util.tree_map(
             jnp.asarray, import_rtpose_state_dict(sd, params))
         print(f"loaded weights from {args.weight}")
+    downsample = getattr(args, "downsample", 0) or \
+        (4 if args.model == "hourglass" else 8)
+    # hourglass: stride-4 stem + depth-4 pooling needs the padded input
+    # divisible by 64 for its skip-add shapes to line up (reference
+    # train_SH.py uses a fixed 256 square for the same reason)
+    pad_factor = 64 if args.model == "hourglass" else 0
     return PosePipeline(model, params, input_size=args.input_size,
                         preprocess_mode=args.preprocess, flip=args.flip,
-                        mesh=mesh,
+                        mesh=mesh, downsample=downsample,
+                        pad_factor=pad_factor,
                         gaussian_filt=getattr(args, "gaussian_filt", False),
                         device_resize=(
                             "auto" if getattr(args, "device_resize", False)
@@ -62,6 +69,9 @@ def add_common_args(parser):
                         help="ship raw uint8 frames; scale+pad in-graph "
                              "(fewer H2D bytes when frames are smaller "
                              "than --input-size)")
+    parser.add_argument("--downsample", type=int, default=0,
+                        help="model output stride (0 = by model family: "
+                             "4 for hourglass, 8 otherwise)")
 
 
 def main():

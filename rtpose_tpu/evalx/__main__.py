@@ -21,6 +21,9 @@ def main():
     parser.add_argument("--input-size", type=int, default=368)
     parser.add_argument("--stages", type=int, default=6,
                         help="refinement stages / stacks")
+    parser.add_argument("--downsample", type=int, default=0,
+                        help="model output stride (0 = by model family: "
+                             "4 for hourglass, 8 otherwise)")
     parser.add_argument("--batch", type=int, default=0,
                         help=">0: batched bucketed eval "
                              "(harness.run_eval_batched)")

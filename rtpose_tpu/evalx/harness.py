@@ -169,7 +169,7 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
         info = coco.image_info(img_id)
         _, _, _, ph, pw = scale_pad_geometry(
             info["height"], info["width"], pipeline.input_size,
-            pipeline.downsample)
+            pipeline.pad_factor)
         buckets[(ph, pw)].append(img_id)
 
     outputs: List[dict] = []

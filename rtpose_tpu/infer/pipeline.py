@@ -67,7 +67,7 @@ def make_infer_fn(model, *, preprocess_mode: str = "vgg",
                   flip: bool = True, decode: bool = True,
                   max_candidates: int = 256, max_total_conns: int = 160,
                   sampling: str = "auto", gaussian_filt: bool = False,
-                  device_resize_to: int = 0):
+                  device_resize_to: int = 0, pad_factor: int = 0):
     """Build the jitted uint8-image->People function.
 
     Returned fn: (params, image_hwc_uint8) -> (People | None, heat, paf).
@@ -90,7 +90,7 @@ def make_infer_fn(model, *, preprocess_mode: str = "vgg",
             # the host-side meta (PosePipeline._prep) so they cannot drift
             h, w = image_u8.shape[0], image_u8.shape[1]
             _, rh, rw, ph, pw = scale_pad_geometry(
-                h, w, device_resize_to, downsample)
+                h, w, device_resize_to, pad_factor or downsample)
             from ..ops.resize import resize_bilinear
             x = resize_bilinear(image_u8.astype(jnp.float32), (rh, rw))
             # zero-pad in RAW pixel space (black), like the reference's
@@ -180,7 +180,7 @@ class PosePipeline:
                  max_candidates: int = 256, max_total_conns: int = 160,
                  mesh=None, gaussian_filt: bool = False,
                  auto_retry: bool = True, retry_caps: Optional[Dict] = None,
-                 device_resize: bool = False):
+                 device_resize: bool = False, pad_factor: int = 0):
         """`mesh`: optional jax.sharding.Mesh with a `data` axis — batched
         serving/eval (`run_batch*`) then shards frames across chips and
         XLA runs forward + decode data-parallel (the serving analogue of
@@ -217,6 +217,10 @@ class PosePipeline:
         self.params = params
         self.input_size = input_size
         self.downsample = downsample
+        # pad_factor: spatial multiple the padded input must satisfy.
+        # Defaults to the output stride; hourglass needs 64 (stride-4 stem
+        # x 4 exact pool/upsample halvings) while its outputs stay stride 4
+        self.pad_factor = pad_factor or downsample
         self.preprocess_mode = preprocess_mode
         self.flip = flip
         self.device_resize = device_resize
@@ -226,7 +230,8 @@ class PosePipeline:
                       max_candidates=max_candidates,
                       max_total_conns=max_total_conns,
                       gaussian_filt=gaussian_filt,
-                      device_resize_to=input_size if device_resize else 0)
+                      device_resize_to=input_size if device_resize else 0,
+                      pad_factor=self.pad_factor)
         self._infer_kwargs = kwargs
         self._infer = make_infer_fn(model, flip=flip, **kwargs)
         # maps-only fn for the multi-scale paths: those prep every scale on
@@ -270,7 +275,7 @@ class PosePipeline:
             h, w = image_bgr.shape[:2]
             if (self.device_resize == "auto"
                     and min(h, w) >= self.input_size
-                    and self.input_size % self.downsample == 0):
+                    and self.input_size % self.pad_factor == 0):
                 # downscale regime: the host resize SHRINKS the frame, so
                 # shipping the resized/padded image is the smaller transfer.
                 # The device program still runs (identity resize + pad 0)
@@ -283,7 +288,7 @@ class PosePipeline:
             # ship the raw frame; the jitted program scales+pads in-graph
             # with the SAME shape arithmetic (shared helper)
             scale, rh, rw, ph, pw = scale_pad_geometry(
-                h, w, self.input_size, self.downsample)
+                h, w, self.input_size, self.pad_factor)
             meta = {"scale": scale, "real_shape": (rh, rw, 3),
                     "padded_shape": (ph, pw, 3)}
             return np.ascontiguousarray(image_bgr, np.uint8), meta
@@ -291,7 +296,7 @@ class PosePipeline:
 
     def _prep_host(self, image_bgr: np.ndarray):
         im, scale, real_shape = crop_with_factor(
-            image_bgr, self.input_size, factor=self.downsample,
+            image_bgr, self.input_size, factor=self.pad_factor,
             is_ceil=True)
         meta = {"scale": scale, "real_shape": real_shape,
                 "padded_shape": im.shape}
@@ -440,9 +445,9 @@ class PosePipeline:
         bw = base_im.shape[1] // self.downsample
         ims = []
         for s in scales:
-            size = max(self.downsample, int(round(self.input_size * s)))
+            size = max(self.pad_factor, int(round(self.input_size * s)))
             im, _, _ = crop_with_factor(image_bgr, size,
-                                        factor=self.downsample)
+                                        factor=self.pad_factor)
             ims.append(im.astype(np.uint8))
         return ims, (bh, bw), meta
 

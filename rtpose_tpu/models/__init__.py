@@ -39,41 +39,62 @@ def get_model(name: str = "vgg19", *, num_stages: int = 6,
 
 
 def _load_builtin(name: str) -> None:
-    # Lazy imports keep `import rtpose_tpu.models` light.
+    # Lazy imports keep `import rtpose_tpu.models` light.  Builders have
+    # EXPLICIT signatures so a mistyped or unsupported get_model kwarg
+    # raises TypeError instead of being silently swallowed (e.g.
+    # remat=True on a family that cannot remat, or num_stage= typos).
     if name == "vgg19":
         from .vgg19 import VGG19RTPose
-        _REGISTRY["vgg19"] = lambda **kw: VGG19RTPose(
-            num_stages=kw.get("num_stages", 6), dtype=kw.get("dtype"),
-            remat=kw.get("remat", False))
+
+        def _build(*, num_stages=6, dtype=None, remat=False):
+            return VGG19RTPose(num_stages=num_stages, dtype=dtype,
+                               remat=remat)
     elif name == "mobilenet":
         from .mobilenet_v2 import MobileNetRTPose
-        _REGISTRY["mobilenet"] = lambda **kw: MobileNetRTPose(
-            num_stages=kw.get("num_stages", 6), dtype=kw.get("dtype"))
+
+        def _build(*, num_stages=6, dtype=None):
+            return MobileNetRTPose(num_stages=num_stages, dtype=dtype)
     elif name == "hourglass":
         from .hourglass import HourglassRTPose
-        _REGISTRY["hourglass"] = lambda **kw: HourglassRTPose(
-            num_stacks=kw.get("num_stacks", kw.get("num_stages", 8)),
-            dtype=kw.get("dtype"))
+
+        def _build(*, num_stages=8, dtype=None, num_stacks=None):
+            return HourglassRTPose(
+                num_stacks=num_stacks if num_stacks is not None
+                else num_stages, dtype=dtype)
     elif name == "shufflenet_v2":
         from .shufflenet_v2 import ShuffleNetV2RTPose
-        _REGISTRY["shufflenet_v2"] = lambda **kw: ShuffleNetV2RTPose(
-            width_multiplier=kw.get("width_multiplier", 1.0),
-            dtype=kw.get("dtype"))
+
+        def _build(*, num_stages=1, dtype=None, width_multiplier=1.0):
+            # single-stage by construction (reference
+            # rtpose_shufflenetV2.py has no refinement stages);
+            # num_stages is accepted for the common call contract
+            return ShuffleNetV2RTPose(width_multiplier=width_multiplier,
+                                      dtype=dtype)
     elif name == "openpose_v2":
         from .openpose_v2 import OpenPoseV2
-        _REGISTRY["openpose_v2"] = lambda **kw: OpenPoseV2(
-            num_paf_stages=kw.get("num_paf_stages", 4),
-            num_heat_stages=kw.get("num_heat_stages", 2),
-            dtype=kw.get("dtype"))
+
+        def _build(*, num_stages=6, dtype=None, num_paf_stages=4,
+                   num_heat_stages=2):
+            # staged as num_paf_stages + num_heat_stages (reference
+            # openpose.py:160-177); num_stages accepted for the contract
+            return OpenPoseV2(num_paf_stages=num_paf_stages,
+                              num_heat_stages=num_heat_stages, dtype=dtype)
     elif name == "atrous_resnet50":
         from .atrous import AtrousPose
-        _REGISTRY["atrous_resnet50"] = lambda **kw: AtrousPose(
-            dtype=kw.get("dtype"))
+
+        def _build(*, num_stages=1, dtype=None):
+            # single-stage by construction (reference atrouspose.py)
+            return AtrousPose(dtype=dtype)
     elif name == "atrous_cpm":
         from .atrous_cpm import AtrousCPM
-        _REGISTRY["atrous_cpm"] = lambda **kw: AtrousCPM(
-            num_stages=kw.get("num_stages", 5), dtype=kw.get("dtype"))
+
+        def _build(*, num_stages=5, dtype=None):
+            return AtrousCPM(num_stages=num_stages, dtype=dtype)
     elif name == "atrous_cpm_shared":
         from .atrous_cpm import AtrousCPMShared
-        _REGISTRY["atrous_cpm_shared"] = lambda **kw: AtrousCPMShared(
-            num_stages=kw.get("num_stages", 5), dtype=kw.get("dtype"))
+
+        def _build(*, num_stages=5, dtype=None):
+            return AtrousCPMShared(num_stages=num_stages, dtype=dtype)
+    else:
+        return
+    _REGISTRY[name] = _build

@@ -134,24 +134,59 @@ def export_shufflenet_caffe(prefix: str, params=None,
                             image_hw: int = 368) -> List[str]:
     """Write <prefix>.prototxt (+ <prefix>.weights.npz if params given).
 
-    npz keys: '<caffe layer name>/<weight|bias>' with conv kernels in
-    caffe's OIHW layout.
+    npz keys are caffe layer names: '<conv layer>/weight' (OIHW) [+
+    '/bias' for the paf/heatmap heads], '<conv>_scale/{weight,bias}' for
+    the BN gamma/beta (caffe Scale layers), and '<conv>_bn/{mean,var,
+    scale_factor}' for the BatchNorm running statistics.  Pass the FULL
+    variables dict ({'params', 'batch_stats'}) from a trained model so
+    the BN blobs are real; params-only input exports convs/Scales only.
     """
     paths = [f"{prefix}.prototxt"]
     with open(paths[0], "w") as f:
         f.write(shufflenet_prototxt(width_multiplier, image_hw))
     if params is not None:
         import jax
-        flat = {}
-        root = params.get("params", params)
-        for path, leaf in jax.tree_util.tree_leaves_with_path(root):
-            keys = [getattr(p, "key", getattr(p, "name", str(p)))
+
+        def _names(path):
+            return [str(getattr(p, "key", getattr(p, "name", p)))
                     for p in path]
-            name = "/".join(str(k) for k in keys)
+
+        def _layer_of(mods):
+            # flax auto-names the inner Conv/BatchNorm submodules; the
+            # caffe layer name is the joined module path without them
+            if mods and mods[-1] in ("Conv_0", "BatchNorm_0"):
+                mods = mods[:-1]
+            return "_".join(mods)
+
+        flat = {}
+        # trainable leaves: conv kernels/biases + BN gamma/beta (the
+        # prototxt's Scale layers)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+                params.get("params", params)):
+            keys = _names(path)
+            mods, last = keys[:-1], keys[-1]
+            layer = _layer_of(mods)
             arr = np.asarray(leaf)
-            if arr.ndim == 4:                 # HWIO -> OIHW
-                arr = arr.transpose(3, 2, 0, 1)
-            flat[name] = arr
+            if last == "kernel":
+                flat[f"{layer}/weight"] = arr.transpose(3, 2, 0, 1)
+            elif last == "scale":          # BN gamma -> caffe Scale weight
+                flat[f"{layer}_scale/weight"] = arr
+            elif last == "bias" and mods and \
+                    (mods[-1] == "BatchNorm_0" or layer.endswith("_bn")):
+                flat[f"{layer}_scale/bias"] = arr    # BN beta -> Scale bias
+            else:
+                flat[f"{layer}/{'bias' if last == 'bias' else last}"] = arr
+        # running statistics: caffe BatchNorm blobs (mean, var,
+        # scale_factor) — without these a caffe deploy of a trained model
+        # normalizes with garbage and produces garbage inference
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+                params.get("batch_stats", {})):
+            keys = _names(path)
+            layer = _layer_of(keys[:-1])
+            bn = layer if layer.endswith("_bn") else f"{layer}_bn"
+            flat[f"{bn}/{keys[-1]}"] = np.asarray(leaf)
+            # caffe divides the stored blobs by scale_factor at load time
+            flat.setdefault(f"{bn}/scale_factor", np.ones((1,), np.float32))
         paths.append(f"{prefix}.weights.npz")
         np.savez(paths[1], **flat)
     return paths

@@ -71,7 +71,8 @@ def he_reinit(params, seed: int = 0):
     through the 10-layer trunk and the network cannot train.  This is the
     from-scratch alternative (cfg.model.init_scheme = "scratch"): hidden
     kernels get std = sqrt(2 / fan_in); the per-stage output heads (module
-    name "out") KEEP the reference N(0, 0.01) so initial predictions sit
+    names "out", hourglass "score_paf*/score_ht*", shufflenet
+    "paf"/"heatmap") KEEP their reference init so initial predictions sit
     near the background target and the MSE loss starts small (He-init
     heads start at loss ~10 and blow up at the reference lr).  Biases and
     non-kernel leaves (e.g. BN scales) are left as initialized.
@@ -81,11 +82,24 @@ def he_reinit(params, seed: int = 0):
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     key = jax.random.PRNGKey(seed)
     keys = jax.random.split(key, max(len(flat), 1))
+
+    def _is_head(module_names):
+        # per-family prediction-head module names: CPM stages name theirs
+        # "out" (vgg19/openpose_v2/atrous*), hourglass "score_paf{i}" /
+        # "score_ht{i}", shufflenet "paf" / "heatmap"
+        for n in module_names:
+            if not isinstance(n, str):
+                continue
+            if n in ("out", "paf", "heatmap") or \
+                    n.startswith(("score_paf", "score_ht")):
+                return True
+        return False
+
     out = []
     for k, (path, leaf) in zip(keys, flat):
         names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
         name = names[-1]
-        if "out" in names[:-1]:
+        if _is_head(names[:-1]):
             out.append(leaf)
             continue
         if name == "kernel" and hasattr(leaf, "ndim") and leaf.ndim >= 2:
@@ -96,20 +110,6 @@ def he_reinit(params, seed: int = 0):
             leaf = std * jax.random.normal(k, leaf.shape, leaf.dtype)
         out.append(leaf)
     return jax.tree_util.tree_unflatten(treedef, out)
-
-
-class ConvReLU(nn.Module):
-    features: int
-    kernel: int = 3
-    dtype: Any = jnp.float32
-    relu: bool = True
-    name_prefix: str = ""
-
-    @nn.compact
-    def __call__(self, x):
-        x = nn.Conv(self.features, (self.kernel, self.kernel), padding="SAME",
-                    dtype=self.dtype, **conv_init())(x)
-        return nn.relu(x) if self.relu else x
 
 
 class CPMStage1(nn.Module):

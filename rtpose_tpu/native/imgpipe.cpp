@@ -464,6 +464,15 @@ class Pool {
             ih = j.resize_h;
         }
 
+        // destination window must fit the canvas: source coords are
+        // clipped below, but an out-of-bounds window would scribble past
+        // the caller's buffer from a worker thread — fail the job instead
+        if (j.out_x < 0 || j.out_y < 0 || j.out_w < 0 || j.out_h < 0 ||
+            j.out_x + j.out_w > j.canvas_w ||
+            j.out_y + j.out_h > j.canvas_h) {
+            return false;
+        }
+
         // fused crop + pad + normalize: everything outside the content
         // window is 0 (PAD_FILL normalizes to ~0 and mask_valid_area zeroes
         // it exactly — see data/transforms.py mask_valid_area)

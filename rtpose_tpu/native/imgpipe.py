@@ -101,6 +101,12 @@ class ImgPipe:
     def __init__(self, threads: int = 8):
         self._lib = _load()
         self._ctx = self._lib.imgpipe_create(threads)
+        # references handed to C++ worker threads: the pool dereferences
+        # raw pointers until wait_all, so the pipe itself keeps the jpeg
+        # bytes and output arrays alive — callers passing temporaries
+        # (pipe.submit(f.read(), ...)) would otherwise hand the workers
+        # freed memory with no loud failure
+        self._live = []
 
     def submit(self, jpeg: bytes, *, out: Optional[np.ndarray] = None,
                out_u8: Optional[np.ndarray] = None,
@@ -124,6 +130,7 @@ class ImgPipe:
         if out_u8 is not None:
             assert out_u8.dtype == np.uint8 and out_u8.flags["C_CONTIGUOUS"]
         ch, cw = (out if out is not None else out_u8).shape[:2]
+        self._live.append((jpeg, out, out_u8))
         ox, oy, ow, oh = content_xywh
         rw, rh = resize_wh
         self._lib.imgpipe_submit(
@@ -165,6 +172,7 @@ class ImgPipe:
         `cap` failures."""
         buf = (ctypes.c_int * cap)()
         n = self._lib.imgpipe_wait_all_failed(self._ctx, buf, cap)
+        self._live.clear()
         return list(buf[:min(n, cap)]), int(n)
 
     def close(self) -> None:

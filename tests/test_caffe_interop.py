@@ -39,11 +39,29 @@ def test_prototxt_export_with_weights(tmp_path):
                                     width_multiplier=0.5, image_hw=64)
     assert len(paths) == 2
     data = np.load(paths[1])
-    conv_keys = [k for k in data.files if k.endswith("kernel")]
+    # keys are caffe LAYER names from the prototxt, not flax paths
+    txt = shufflenet_prototxt(0.5, 64)
+    conv_keys = [k for k in data.files if k.endswith("/weight")
+                 and not k.endswith("_scale/weight")]
     assert conv_keys
+    for k in conv_keys:
+        assert f'name: "{k.split("/")[0]}"' in txt, k
     # kernels exported OIHW: spatial dims last
-    k = data[conv_keys[0]]
+    k = data["stage1_conv/weight"]
     assert k.ndim == 4 and k.shape[2] == k.shape[3]
+    # BN running stats + scale_factor present for every BatchNorm layer,
+    # gamma/beta on the Scale layers, biases only on the heads
+    assert "stage1_conv_bn/mean" in data.files
+    assert "stage1_conv_bn/var" in data.files
+    assert float(data["stage1_conv_bn/scale_factor"][0]) == 1.0
+    assert "stage1_conv_scale/weight" in data.files
+    assert "stage1_conv_scale/bias" in data.files
+    assert "data_bn/mean" in data.files            # input BN keeps its name
+    assert "data_bn_scale/weight" in data.files
+    assert "paf/bias" in data.files and "heatmap/bias" in data.files
+    bn_layers = {k.split("/")[0] for k in data.files if "/mean" in k}
+    for bn in bn_layers:
+        assert f'name: "{bn}"' in txt, bn
 
 
 @pytest.fixture(scope="module")

@@ -493,3 +493,37 @@ def test_native_loader_deterministic_val(coco_dir):
     assert len(e1) == len(e2) and len(e1) > 0
     for a, b in zip(e1, e2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_out_of_canvas_window_fails_job(pipe, jpg):
+    """Regression: a destination window exceeding the canvas must FAIL the
+    job (like every other error path) — not scribble past the caller's
+    buffer from a worker thread."""
+    out = np.zeros((50, 50, 3), np.float32)
+    pipe.submit(jpg, out=out, content_xywh=(30, 30, 40, 40))
+    with pytest.raises(RuntimeError, match="failed"):
+        pipe.wait()
+
+
+def test_submit_retains_buffers_until_wait(coco_dir):
+    """The pipe itself keeps jpeg bytes alive until wait(): submitting a
+    temporary (no caller-held reference) must be safe."""
+    import gc
+
+    img_dir, _ann = coco_dir
+    name = sorted(os.listdir(img_dir))[0]
+    p = imgpipe.ImgPipe(2)
+    outs = []
+    for _ in range(8):
+        with open(os.path.join(img_dir, name), "rb") as f:
+            blob = f.read()
+        u8 = np.zeros((64, 64, 3), np.uint8)
+        outs.append(u8)
+        p.submit(bytes(blob), out_u8=u8, resize_wh=(64, 64),
+                 content_xywh=(0, 0, 64, 64))
+        del blob
+        gc.collect()
+    p.wait()
+    for u8 in outs:
+        assert u8.any()
+    p.close()

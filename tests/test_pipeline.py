@@ -51,3 +51,24 @@ def test_pipeline_end_to_end_smoke(flip):
     # map normalized coords to original pixels
     pix = pipe.keypoints_pixels(people, meta)
     assert isinstance(pix, list)
+
+
+def test_hourglass_pipeline_stride4_pad64():
+    """Regression: serving a stride-4 hourglass requires downsample=4 for
+    the coordinate math AND pad_factor=64 so its depth-4 skip-adds line up
+    on non-square frames (the demos previously hardcoded 8/8, drawing
+    skeletons at 2x scale or failing to trace)."""
+    from rtpose_tpu.models import get_model
+
+    model = get_model("hourglass", num_stages=1, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    pipe = PosePipeline(model, params, input_size=128, flip=False,
+                        downsample=4, pad_factor=64)
+    img = (np.random.RandomState(0).rand(130, 170, 3) * 255) \
+        .astype(np.uint8)
+    people, heat, paf, meta = pipe.run(img)
+    ph, pw = meta["padded_shape"][:2]
+    assert ph % 64 == 0 and pw % 64 == 0
+    # upsampled size is heat grid x the TRUE output stride
+    assert meta["upsampled"] == (heat.shape[0] * 4, heat.shape[1] * 4)
+    assert heat.shape[0] == ph // 4 and heat.shape[1] == pw // 4

@@ -120,3 +120,28 @@ def test_trainer_scratch_init_trains_past_reference_plateau():
 
     scratch = run("scratch")
     assert scratch[-1] < 0.7 * scratch[0], scratch
+
+
+def test_he_reinit_preserves_all_family_heads():
+    """Regression: the head exemption must cover every family's head
+    module names — hourglass (score_paf*/score_ht*) and shufflenet
+    (paf/heatmap), not just the CPM families' 'out'."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtpose_tpu.models import get_model
+    from rtpose_tpu.models.common import he_reinit
+
+    for name, head_probe in (("hourglass", ("score_paf0",)),
+                             ("shufflenet_v2", ("paf",)),
+                             ("vgg19", ("stages", "stage1_L1", "out"))):
+        model = get_model(name, num_stages=1, dtype=jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        re = he_reinit(v, seed=1)
+        node_b = v["params"] if "params" in v else v
+        node_a = re["params"] if "params" in re else re
+        for p in head_probe:
+            node_b, node_a = node_b[p], node_a[p]
+        np.testing.assert_array_equal(np.asarray(node_a["kernel"]),
+                                      np.asarray(node_b["kernel"]),
+                                      err_msg=f"{name} head was redrawn")
