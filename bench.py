@@ -205,14 +205,14 @@ def main():
     peak = _PEAK_TFLOPS.get(kind)
     mfu = (flops * (c_fps / BATCH) / peak) if (flops and peak) else None
 
-    # decode cost at the default and doubled peak caps (crowded scenes)
-    extra_decode = {}
-    for k in (32, 64):
-        s_k = make_serve(k)
-        rk = s_k(params, dev_batch)
-        _ = np.asarray(rk)           # compile + path warmup
-        fps_k = compute_bound_fps(s_k, params, dev_batch)
-        extra_decode[f"compute_fps_maxpeaks{k}"] = round(fps_k, 1)
+    # decode cost at the default and doubled peak caps (crowded scenes);
+    # k=32 IS the main serve program already measured — reuse, don't
+    # re-compile and re-time the identical program
+    extra_decode = {"compute_fps_maxpeaks32": round(c_fps, 1)}
+    s_64 = make_serve(64)
+    _ = np.asarray(s_64(params, dev_batch))    # compile + path warmup
+    extra_decode["compute_fps_maxpeaks64"] = round(
+        compute_bound_fps(s_64, params, dev_batch), 1)
 
     train = train_metrics(peak)
 

@@ -146,9 +146,25 @@ def apply_dotlist(cfg: Config, dotlist: List[str]) -> Config:
         try:
             value = json.loads(raw)
         except (json.JSONDecodeError, TypeError):
-            value = raw
+            # yacs-style Python literals (True/False/None) are not JSON;
+            # accept them rather than silently assigning the truthy STRING
+            # "False" to a bool field
+            literals = {"True": True, "False": False, "None": None}
+            value = literals.get(raw.strip(), raw)
         if isinstance(cur, tuple) and isinstance(value, list):
             value = tuple(value)
+        # type-check against the existing field: a malformed value must
+        # fail loudly, not silently replace an int/float/bool with a str
+        if (cur is not None and value is not None
+                and not isinstance(cur, str) and isinstance(value, str)):
+            raise SystemExit(
+                f"--set {key}: cannot parse {raw!r} as "
+                f"{type(cur).__name__} (current value {cur!r})")
+        if isinstance(cur, bool) and not isinstance(value, bool):
+            raise SystemExit(
+                f"--set {key}: expected a boolean, got {raw!r}")
+        if isinstance(cur, float) and isinstance(value, int):
+            value = float(value)
         setattr(node, parts[-1], value)
     return cfg
 

@@ -32,7 +32,8 @@ def main():
 
     pipe = load_pipeline(args.ckpt, model_name="hourglass",
                          num_stages=args.stages, input_size=args.size,
-                         preprocess_mode="vgg", flip=True, downsample=4)
+                         preprocess_mode="vgg", flip=True, downsample=4,
+                         pad_factor=64)
     img_dir = os.path.join(args.ckpt, "images")
     ann_file = os.path.join(args.ckpt, "annotations.json")
     results_path = os.path.join(args.ckpt, "results_person.json")

@@ -64,13 +64,26 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     img_dir = os.path.join(args.out, "train")
     ann_file = os.path.join(args.out, "train.json")
-    if os.path.isfile(ann_file) and len(os.listdir(img_dir)) == args.images:
+    # reuse only a set rendered with the SAME parameters (a stamp file),
+    # and only if the image dir actually exists — a stale or mismatched
+    # set would silently change what the measured numbers describe
+    stamp_file = os.path.join(args.out, "train.stamp.json")
+    stamp = {"images": args.images, "size": args.size,
+             "max_people": args.max_people}
+    have = None
+    if os.path.isfile(stamp_file):
+        with open(stamp_file) as f:
+            have = json.load(f)
+    if (have == stamp and os.path.isfile(ann_file) and os.path.isdir(img_dir)
+            and len(os.listdir(img_dir)) == args.images):
         print("reusing rendered JPEG training set", flush=True)
     else:
         print("rendering JPEG training set...", flush=True)
         t_render = time.time()
         img_dir, ann_file = write_train_set(args.out, 0, args.images,
                                             args.size, args.max_people)
+        with open(stamp_file, "w") as f:
+            json.dump(stamp, f)
         print(f"  {args.images} JPEGs in {time.time() - t_render:.0f}s",
               flush=True)
 

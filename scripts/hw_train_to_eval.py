@@ -142,6 +142,11 @@ def main():
     if args.model == "hourglass":
         # the reference's second trainer recipe (train_SH.py:76-77,267):
         # output stride 4, sigma 4.416, limb width 1.289, crowd-masked loss
+        if args.size % 64:
+            raise SystemExit(
+                f"--model hourglass needs --size divisible by 64 "
+                f"(stride-4 stem x depth-4 exact pool/upsample halvings); "
+                f"got {args.size} — use e.g. 256 (train_SH.py's size)")
         cfg.model.downsample = 4
         cfg.dataset.sigma = 4.416
         cfg.dataset.limb_width = 1.289
@@ -195,7 +200,8 @@ def main():
     pipe = PosePipeline(tr.model, variables, input_size=args.size,
                         preprocess_mode="vgg", flip=True,
                         thresh_heatmap=args.thresh_heatmap,
-                        downsample=cfg.model.downsample)
+                        downsample=cfg.model.downsample,
+                        pad_factor=64 if args.model == "hourglass" else 0)
 
     print("running the COCO eval harness on the held-out set...", flush=True)
     stats = run_eval_batched(
