@@ -27,9 +27,9 @@ def test_prototxt_structure():
     # downsample units carry the projection branch
     assert 'stage2_unit1_dw_proj' in txt
     assert 'stage2_unit2_dw_proj' not in txt
-    # parses as balanced layer blocks
-    assert txt.count("layer {") == txt.count("}\n") - txt.count("} }") \
-        or txt.count("layer {") > 40
+    # really balanced: every opened brace closes, and plenty of layers
+    assert txt.count("{") == txt.count("}")
+    assert txt.count("layer {") > 40
 
 
 def test_prototxt_export_with_weights(tmp_path):

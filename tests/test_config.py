@@ -7,6 +7,13 @@ import pytest
 
 from rtpose_tpu.config import Config, apply_dotlist, load_config
 
+# anchored to this file so the parametrization never silently empties when
+# pytest runs from another cwd
+_EXPERIMENT_YAMLS = glob.glob(os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "experiments", "*.yaml"))
+assert _EXPERIMENT_YAMLS, "experiments/*.yaml not found"
+
 
 def test_defaults():
     cfg = Config()
@@ -17,7 +24,7 @@ def test_defaults():
     assert cfg.test.flip is True
 
 
-@pytest.mark.parametrize("path", sorted(glob.glob("experiments/*.yaml")))
+@pytest.mark.parametrize("path", sorted(_EXPERIMENT_YAMLS))
 def test_experiment_yamls_parse(path):
     cfg = load_config(path)
     assert cfg.dataset.image_size in (256, 368)

@@ -48,8 +48,6 @@ def test_native_grouping_thread_safe():
     if not native.available():
         pytest.skip("native toolchain unavailable")
     from rtpose_tpu.ops import grouping_ref as G
-    import sys
-    sys.path.insert(0, "tests")
     from util_synth import synth_example
 
     cases = []

@@ -299,12 +299,17 @@ def test_geometry_maps_pixels_and_keypoints_together(pipe):
         pipe.wait()
         # hflip swaps left/right part slots; undo for comparison
         kpc = kp_t[0][T._SWAP17] if p.hflip else kp_t[0]
+        n_checked = 0
         for j in range(6):
             x, y = kpc[j, :2]
             if not (2 <= x < 366 and 2 <= y < 366):
                 continue
             win = u8[int(y) - 2:int(y) + 3, int(x) - 2:int(x) + 3, 0]
             assert win.max() > 100, (seed, j, x, y)
+            n_checked += 1
+        # vacuous-pass guard: a geometry regression that maps every point
+        # off-canvas must fail, not skip all assertions
+        assert n_checked >= 2, (seed, kpc[:6, :2])
 
 
 def test_native_loader_throughput_report(coco_dir):

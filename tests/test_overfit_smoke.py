@@ -51,17 +51,15 @@ def test_overfit_one_batch_recovers_pose():
     for step in range(30):
         logs = tr.run_epoch([batch], train=True)
         losses.append(logs["loss"])
-    # ~50% loss reduction in 30 SGD steps on one batch (full
-    # convergence would need hundreds of steps; this is a CI-sized check)
+    # ~30% loss reduction in 30 SGD steps on one batch (full
+    # a ~30% cut; full convergence would need hundreds of steps)
     assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
     assert losses[-1] == min(losses)
 
     # decode the model's own prediction
     imgs = jnp.asarray(batch["image"][:1])
-    out, _ = (tr.model.apply({"params":
-                              jax.tree_util.tree_map(np.asarray,
-                                                     tr.state.params)},
-                             imgs), None)
+    out = tr.model.apply({"params": jax.tree_util.tree_map(
+        np.asarray, tr.state.params)}, imgs)
     heat = np.asarray(out.heatmap[0])
     paf = np.asarray(out.paf[0])
     people_dev = decode_poses(jnp.asarray(heat), jnp.asarray(paf),

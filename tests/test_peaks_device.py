@@ -117,7 +117,6 @@ def test_gaussian_filt_refine_matches_reference_formula():
     yf = np.asarray(dev.yf)
     sc = np.asarray(dev.score)
     v = np.asarray(dev.valid)
-    py = np.asarray(dev.y)  # truncated ints of refined — recompute coarse
     n_checked = 0
     host = G.nms(heat, upsamp_factor=1, thresh=0.1)  # coarse peaks, f=1
     for part, arr in enumerate(host):

@@ -120,6 +120,10 @@ def test_trainer_scratch_init_trains_past_reference_plateau():
 
     scratch = run("scratch")
     assert scratch[-1] < 0.7 * scratch[0], scratch
+    # ...and the reference init really does plateau (if init_scheme were
+    # silently ignored and He applied everywhere, this half would fail)
+    reference = run("reference")
+    assert reference[-1] > 0.9 * reference[0], reference
 
 
 def test_he_reinit_preserves_all_family_heads():

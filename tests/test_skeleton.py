@@ -65,8 +65,11 @@ def test_group_net_consistent_with_limbs():
         a, b = (eye_for_ear.get(p, p) if pair in ((2, 16), (5, 17)) else p
                 for p in pair)
         key = frozenset((a, b))
-        if key in limb_of:
-            assert cx == 2 * limb_of[key]
+        # every pair (after the documented ear->eye substitution) must map
+        # to a known limb — a silent skip here would pass on a corrupted
+        # table, the exact regression this test exists to catch
+        assert key in limb_of, pair
+        assert cx == 2 * limb_of[key]
 
 
 def test_flip_part_involution():
