@@ -136,14 +136,23 @@ def load_pipeline(checkpoint_dir: str = None, *, torch_weights: str = None,
 
     from ..models import get_model
 
+    if checkpoint_dir and torch_weights:
+        raise ValueError(
+            "pass checkpoint_dir OR torch_weights, not both — silently "
+            "preferring one would evaluate the wrong model")
     dtype = dtype or jnp.bfloat16
     model = get_model(model_name, num_stages=num_stages, dtype=dtype)
     if not checkpoint_dir or torch_weights:
         # jitted: eager init pays a per-op dispatch/compile RTT on tunnel
-        # backends (hundreds of tiny programs); one program caches well
+        # backends (hundreds of tiny programs); one program caches well.
+        # The dummy input must satisfy the model's spatial constraint
+        # (pad_factor, e.g. 64 for hourglass), like every served frame —
+        # a raw non-divisible input_size would crash the trace.
+        pf = kwargs.get("pad_factor", 0) or kwargs.get("downsample", 8)
+        init_size = input_size + (-input_size % pf)
         params = jax.jit(model.init)(
             jax.random.PRNGKey(0),
-            jnp.zeros((1, input_size, input_size, 3)))
+            jnp.zeros((1, init_size, init_size, 3)))
     if torch_weights:
         from ..models.import_torch import (import_rtpose_state_dict,
                                            load_torch_checkpoint)
@@ -246,6 +255,7 @@ class PosePipeline:
             max_peaks=max_peaks, max_people=max_people,
             max_candidates=max_candidates, max_total_conns=max_total_conns,
             gaussian_filt=gaussian_filt)
+        self._ms_cache: Dict[tuple, Any] = {}
         self.auto_retry = auto_retry
         caps = dict(RETRY_CAPS)
         caps.update(retry_caps or {})
@@ -313,19 +323,22 @@ class PosePipeline:
         people_dev, heat, paf = self._infer(self.params, jnp.asarray(im))
         h_up = heat.shape[0] * self.downsample
         w_up = heat.shape[1] * self.downsample
-        # one bundled readback (issuing the field transfers together) —
-        # per-field np.asarray pays a tunnel RTT each
-        people_host = self._retry_if_truncated(
-            jax.device_get(people_dev), heat, paf, meta)
+        # ONE bundled readback for people + both maps — each separate
+        # np.asarray/device_get pays a full tunnel RTT (~30 ms); the
+        # device heat/paf refs stay valid for the truncation retry
+        people_host, heat_h, paf_h = jax.device_get(
+            (people_dev, heat, paf))
+        people_host = self._retry_if_truncated(people_host, heat, paf,
+                                               meta)
         people = people_to_numpy(people_host, w_up, h_up)
         meta["upsampled"] = (h_up, w_up)
-        return people, np.asarray(heat), np.asarray(paf), meta
+        return people, np.asarray(heat_h), np.asarray(paf_h), meta
 
     def run_batch(self, images_bgr):
-        """Batched serving for same-shape frames (video): one jitted call
-        per batch, people lists per frame.  Frames are resized/padded
-        individually; batching requires identical padded shapes (true for
-        a fixed-resolution video stream)."""
+        """Batched serving: one jitted call per padded shape, people lists
+        per frame.  Same-shape frames (a fixed-resolution video stream)
+        run as a single batch; mixed shapes are grouped into per-shape
+        async sub-batches (see run_batch_submit)."""
         # submit + immediate collect; ONE whole-batch readback (per-frame
         # per-field np.asarray costs a full tunnel RTT each — ~30 ms x 5
         # fields x B frames dominated video serving before this)
@@ -341,6 +354,8 @@ class PosePipeline:
         padded shape into per-shape async sub-batches (one compiled
         program per shape, all submitted before any readback), keeping the
         pipeline instead of degrading to serial per-image dispatch."""
+        if not images_bgr:
+            return ("multi", 0, [])     # empty ticket; collect -> ([], [])
         ims, metas = zip(*(self._prep(im) for im in images_bgr))
         if len({im.shape for im in ims}) != 1:
             groups: Dict[tuple, list] = {}
@@ -439,10 +454,17 @@ class PosePipeline:
 
     def _prep_scales(self, image_bgr, scales):
         # multi-scale TTA preps every scale on host (the per-scale resize
-        # targets differ; device_resize only covers the single-scale path)
-        base_im, meta = self._prep_host(image_bgr)
-        bh = base_im.shape[0] // self.downsample
-        bw = base_im.shape[1] // self.downsample
+        # targets differ; device_resize only covers the single-scale path).
+        # The base-grid shape + meta come from the shared geometry helper —
+        # resizing the full frame just to read its shape would burn a cv2
+        # resize per call on the single-core host
+        h, w = image_bgr.shape[:2]
+        scale, rh, rw, ph, pw = scale_pad_geometry(
+            h, w, self.input_size, self.pad_factor)
+        meta = {"scale": scale, "real_shape": (rh, rw, 3),
+                "padded_shape": (ph, pw, 3)}
+        bh = ph // self.downsample
+        bw = pw // self.downsample
         ims = []
         for s in scales:
             size = max(self.pad_factor, int(round(self.input_size * s)))
@@ -451,11 +473,18 @@ class PosePipeline:
             ims.append(im.astype(np.uint8))
         return ims, (bh, bw), meta
 
-    @functools.lru_cache(maxsize=8)
     def _multiscale_fn(self, n_scales: int, base_hw: tuple):
         """One jitted program: n_scales forwards (each with fused flip TTA)
         -> in-graph bicubic resize to the base grid -> average -> decode.
-        Host does nothing but resize/pad the uint8 inputs."""
+        Host does nothing but resize/pad the uint8 inputs.
+
+        Cached per instance: an lru_cache on the method would key on
+        `self` in a class-level cache, keeping dead pipelines (and their
+        device params + executables) alive until eviction."""
+        key = (n_scales, tuple(base_hw))
+        cached = self._ms_cache.get(key)
+        if cached is not None:
+            return cached
         from ..ops.resize import resize_bicubic
         infer_maps = self._infer_maps
 
@@ -472,6 +501,7 @@ class PosePipeline:
                 heat_avg, paf_avg, **self._decode_only.keywords)
             return people, heat_avg, paf_avg
 
+        self._ms_cache[key] = run
         return run
 
     def run_multiscale(self, image_bgr: np.ndarray,
@@ -486,11 +516,15 @@ class PosePipeline:
         people_dev, heat_avg, paf_avg = fn(
             self.params, *(jnp.asarray(im) for im in ims))
         h_up, w_up = bh * self.downsample, bw * self.downsample
-        people_host = self._retry_if_truncated(
-            jax.device_get(people_dev), heat_avg, paf_avg, meta)
+        # ONE bundled readback for people + both averaged maps (device
+        # refs stay valid for the truncation retry)
+        people_host, heat_h, paf_h = jax.device_get(
+            (people_dev, heat_avg, paf_avg))
+        people_host = self._retry_if_truncated(people_host, heat_avg,
+                                               paf_avg, meta)
         meta["upsampled"] = (h_up, w_up)
         people = people_to_numpy(people_host, w_up, h_up)
-        return people, np.asarray(heat_avg), np.asarray(paf_avg), meta
+        return people, np.asarray(heat_h), np.asarray(paf_h), meta
 
     def run_multiscale_host(self, image_bgr: np.ndarray,
                             scales=(0.5, 1.0, 1.5, 2.0)):
@@ -498,10 +532,12 @@ class PosePipeline:
         differential oracle for run_multiscale."""
         import cv2
         ims, (bh, bw), meta = self._prep_scales(image_bgr, scales)
-        heat_sum = np.zeros((bh, bw, 19), np.float32)
-        paf_sum = np.zeros((bh, bw, 38), np.float32)
+        heat_sum = paf_sum = None
         for im in ims:
             _, heat, paf = self._infer_maps(self.params, jnp.asarray(im))
+            if heat_sum is None:   # channel counts follow the model
+                heat_sum = np.zeros((bh, bw, heat.shape[-1]), np.float32)
+                paf_sum = np.zeros((bh, bw, paf.shape[-1]), np.float32)
             heat_sum += cv2.resize(np.asarray(heat), (bw, bh),
                                    interpolation=cv2.INTER_CUBIC)
             paf_sum += cv2.resize(np.asarray(paf), (bw, bh),

@@ -77,3 +77,31 @@ def test_load_pipeline_from_checkpoint(tmp_path):
     loaded = np.asarray(
         jax.tree_util.tree_leaves(pipe.params["params"])[0])
     np.testing.assert_array_equal(saved, loaded)
+
+
+def test_load_pipeline_hourglass_nondivisible_input(tmp_path):
+    """Regression: from-scratch hourglass pipelines must init at a
+    pad_factor-rounded dummy size — a raw non-64-divisible input_size
+    crashed the init trace in the depth-4 skip adds."""
+    import numpy as np
+
+    from rtpose_tpu.infer.pipeline import load_pipeline
+
+    pipe = load_pipeline(None, model_name="hourglass", num_stages=1,
+                         input_size=120, dtype=jnp.float32,
+                         downsample=4, pad_factor=64)
+    img = (np.random.RandomState(0).rand(130, 150, 3) * 255) \
+        .astype(np.uint8)
+    people, heat, _paf, meta = pipe.run(img)
+    ph, pw = meta["padded_shape"][:2]
+    assert ph % 64 == 0 and pw % 64 == 0
+    assert heat.shape[0] == ph // 4
+
+
+def test_load_pipeline_rejects_ambiguous_sources(tmp_path):
+    import pytest
+
+    from rtpose_tpu.infer.pipeline import load_pipeline
+
+    with pytest.raises(ValueError, match="not both"):
+        load_pipeline(str(tmp_path), torch_weights="pose_model.pth")
