@@ -34,6 +34,32 @@ def _synth(seed, n_people, h=46, w=46):
         sys.path.pop(0)
 
 
+def _match_people(dev_people, host_people, w_up, h_up):
+    """Greedy one-to-one device->host person matching by mean part
+    distance (pixels). Returns host index per device person, or None if
+    no injective matching exists (a real parity break)."""
+    n = len(dev_people)
+    dist = np.full((n, n), np.inf)
+    for i, person in enumerate(dev_people):
+        for j, hp in enumerate(host_people):
+            ds = [np.hypot((xn - hp[part][0]) * w_up,
+                           (yn - hp[part][1]) * h_up)
+                  for part, (xn, yn, _) in person["parts"].items()
+                  if hp[part][0] >= 0]
+            if ds:
+                dist[i, j] = float(np.mean(ds))
+    order = [-1] * n
+    taken = set()
+    for i in np.argsort(dist.min(axis=1)):
+        j = int(np.argmin(
+            np.where(np.isin(np.arange(n), list(taken)), np.inf, dist[i])))
+        if not np.isfinite(dist[i, j]):
+            return None
+        order[int(i)] = j
+        taken.add(j)
+    return order
+
+
 def check_decode_parity(n_scenes: int = 6) -> bool:
     import jax.numpy as jnp
 
@@ -52,11 +78,22 @@ def check_decode_parity(n_scenes: int = 6) -> bool:
                   f"(host {len(host_people)} vs device {len(dev_people)})")
             ok = False
             continue
+        # Person EMISSION order is tie-sensitive: one bit-equal candidate
+        # score (lax.top_k ties order differently per backend; the
+        # reference's std::sort is likewise unstable) can swap which
+        # subset is created first without changing any person's content.
+        # Match device->host people by nearest mean part distance, then
+        # compare strictly within each matched pair.
+        order = _match_people(dev_people, host_people, w_up, h_up)
+        if order is None:
+            print(f"  scene {seed}: no one-to-one person matching")
+            ok = False
+            continue
         # part-level comparison: the TPU matmul-precision regressions this
         # selftest exists for (bf16 MXU pass on the refine einsums) shift
         # sub-pixel coordinates without changing people counts
         for pi, person in enumerate(dev_people):
-            hp = host_people[pi]   # (18, 3): normalized x, y, score
+            hp = host_people[order[pi]]   # (18, 3): normalized x, y, score
             for part, (xn, yn, score) in person["parts"].items():
                 hx, hy, hs = hp[part]
                 if hx < 0:
