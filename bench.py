@@ -30,9 +30,9 @@ import numpy as np
 BATCH = 64
 DEPTH = 3      # in-flight batches
 ITERS = 14     # timed batches per trial
-TRIALS = 6     # tunnel H2D throughput swings 10x between minutes; more
+TRIALS = 8     # tunnel H2D throughput swings 10x between minutes; more
                # trials = more chances to sample good weather (best +
-               # median + spread all reported)
+               # median + spread all reported; ~9 s per trial)
 COMPUTE_ITERS = 12
 
 # bf16 peak TFLOPS per chip by device kind (for MFU)
