@@ -35,11 +35,17 @@ def _synth(seed, n_people, h=46, w=46):
 
 
 def _match_people(dev_people, host_people, w_up, h_up):
-    """Greedy one-to-one device->host person matching by mean part
+    """Optimal one-to-one device->host person matching by mean part
     distance (pixels). Returns host index per device person, or None if
-    no injective matching exists (a real parity break)."""
-    n = len(dev_people)
-    dist = np.full((n, n), np.inf)
+    no injective matching with all-finite distances exists (a real
+    parity break). Exact (exhaustive over assignments) — person counts
+    here are <= ~8, and greedy nearest-first can both return a
+    non-injective mapping (argmin over an all-inf masked row lands on a
+    taken column) and miss valid matchings that exist."""
+    nd, nh = len(dev_people), len(host_people)
+    if nd != nh:
+        return None
+    dist = np.full((nd, nh), np.inf)
     for i, person in enumerate(dev_people):
         for j, hp in enumerate(host_people):
             ds = [np.hypot((xn - hp[part][0]) * w_up,
@@ -48,16 +54,27 @@ def _match_people(dev_people, host_people, w_up, h_up):
                   if hp[part][0] >= 0]
             if ds:
                 dist[i, j] = float(np.mean(ds))
-    order = [-1] * n
-    taken = set()
-    for i in np.argsort(dist.min(axis=1)):
-        j = int(np.argmin(
-            np.where(np.isin(np.arange(n), list(taken)), np.inf, dist[i])))
-        if not np.isfinite(dist[i, j]):
-            return None
-        order[int(i)] = j
-        taken.add(j)
-    return order
+
+    # branch-and-bound over injective assignments: rows in order, prune
+    # on running cost; exact minimum, fast for the small counts here
+    best = {"cost": np.inf, "order": None}
+
+    def assign(i, taken, cost):
+        if cost >= best["cost"]:
+            return
+        if i == nd:
+            best["cost"], best["order"] = cost, list(taken)
+            return
+        for j in np.argsort(dist[i]):
+            j = int(j)
+            if j in taken or not np.isfinite(dist[i, j]):
+                continue
+            taken.append(j)
+            assign(i + 1, taken, cost + dist[i, j])
+            taken.pop()
+
+    assign(0, [], 0.0)
+    return best["order"]
 
 
 def check_decode_parity(n_scenes: int = 6) -> bool:
