@@ -195,6 +195,54 @@ class CocoKeypoints:
         return out
 
 
+class ConcatKeypoints:
+    """Concatenation of map-style keypoint datasets.
+
+    The reference trains on a ``torch.utils.data.ConcatDataset`` over ALL
+    of ``args.train_annotations`` (reference train/train_VGG19.py:50-60);
+    this is the loader-agnostic analogue: it exposes the exact surface
+    both :class:`Loader` (``get``) and the native C++ loader
+    (``raw_sample``/``finalize_keypoints``/``input_size``/``stride``)
+    consume, with global indices mapped to (dataset, local index).
+    """
+
+    _SHARED = ("input_size", "stride", "sigma", "host_gt")
+
+    def __init__(self, datasets):
+        datasets = list(datasets)
+        if not datasets:
+            raise ValueError("ConcatKeypoints needs at least one dataset")
+        for attr in self._SHARED:
+            vals = {getattr(d, attr) for d in datasets}
+            if len(vals) != 1:
+                raise ValueError(
+                    f"ConcatKeypoints datasets disagree on {attr}: {vals}")
+            setattr(self, attr, next(iter(vals)))
+        self.datasets = datasets
+        self._offsets = np.cumsum([0] + [len(d) for d in datasets])
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def _locate(self, index: int):
+        if not 0 <= index < len(self):
+            raise IndexError(index)
+        di = int(np.searchsorted(self._offsets, index, side="right")) - 1
+        return self.datasets[di], index - int(self._offsets[di])
+
+    def get(self, index: int, rng: np.random.Generator) -> Dict:
+        ds, i = self._locate(index)
+        return ds.get(i, rng)
+
+    def raw_sample(self, index: int):
+        ds, i = self._locate(index)
+        return ds.raw_sample(i)
+
+    def finalize_keypoints(self, keypoints: np.ndarray, n_people: int):
+        # pure function of the shared (input_size, stride) geometry
+        return self.datasets[0].finalize_keypoints(keypoints, n_people)
+
+
 class ImageList:
     """Plain image-path dataset for batch inference
     (reference lib/datasets/datasets.py:314-334)."""

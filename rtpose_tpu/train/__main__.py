@@ -35,19 +35,29 @@ def main():
             "train.data_loader=native does not support "
             "dataset.rotate_degrees — use the pil loader")
 
-    from ..data.dataset import CocoKeypoints, Loader
+    from ..data.dataset import CocoKeypoints, ConcatKeypoints, Loader
     from ..data import transforms as T
     from .trainer import Trainer
 
-    train_ds = CocoKeypoints(
-        image_dir=cfg.dataset.train_image_dir,
-        ann_file=cfg.dataset.train_annotations[0],
-        preprocess=T.train_pipeline(
-            cfg.dataset.image_size,
-            (cfg.dataset.scale_min, cfg.dataset.scale_max),
-            cfg.dataset.hflip_prob, cfg.dataset.rotate_degrees),
-        input_size=cfg.dataset.image_size,
-        stride=cfg.model.downsample, sigma=cfg.dataset.sigma)
+    if not cfg.dataset.train_annotations:
+        raise SystemExit("dataset.train_annotations is empty — need at "
+                         "least one annotation file")
+    # the reference trains on a ConcatDataset over ALL annotation files
+    # (reference train/train_VGG19.py:50-60); one CocoKeypoints per file,
+    # concatenated into a single map-style dataset
+    train_parts = [
+        CocoKeypoints(
+            image_dir=cfg.dataset.train_image_dir,
+            ann_file=ann,
+            preprocess=T.train_pipeline(
+                cfg.dataset.image_size,
+                (cfg.dataset.scale_min, cfg.dataset.scale_max),
+                cfg.dataset.hflip_prob, cfg.dataset.rotate_degrees),
+            input_size=cfg.dataset.image_size,
+            stride=cfg.model.downsample, sigma=cfg.dataset.sigma)
+        for ann in cfg.dataset.train_annotations]
+    train_ds = (train_parts[0] if len(train_parts) == 1
+                else ConcatKeypoints(train_parts))
     val_ds = CocoKeypoints(
         image_dir=cfg.dataset.val_image_dir,
         ann_file=cfg.dataset.val_annotations,
