@@ -10,8 +10,8 @@ production serving shape.
 The driver's TPU is tunnel-attached and its throughput fluctuates heavily
 between runs (measured 60 MB/s to 1.6 GB/s H2D on identical code;
 block_until_ready resolves at enqueue so only readbacks time truthfully).
-The e2e metric reports the best sustained trial (vs the 60 FPS/chip
-BASELINE.json north star) plus the median and spread across trials; the
+The e2e headline is the MEDIAN trial (vs the 60 FPS/chip BASELINE.json
+north star) — robust to trial count — with best + full spread as extras; the
 compute-bound metric (device-resident inputs, batch-amortized readback)
 is the number that generalizes off the tunnel, reported with measured
 MFU from the compiled program's XLA flop count.
@@ -196,7 +196,9 @@ def main():
 
     trials = sorted(run_trial(serve, params, batches, jax.device_put)
                     for _ in range(TRIALS))
-    fps = trials[-1]
+    # headline = MEDIAN across trials (round-3 verdict: a best-of-N
+    # headline drifts upward with N); best + full list stay as extras
+    fps_best = trials[-1]
     fps_median = statistics.median(trials)
 
     c_fps = compute_bound_fps(serve, params, dev_batch)
@@ -218,9 +220,11 @@ def main():
 
     print(json.dumps({
         "metric": "fps_368x368_e2e_incl_grouping",
-        "value": round(fps, 2),
+        "value": round(fps_median, 2),
+        "value_is": "median",
         "unit": "frames/s",
-        "vs_baseline": round(fps / 60.0, 3),
+        "vs_baseline": round(fps_median / 60.0, 3),
+        "e2e_fps_best": round(fps_best, 2),
         "e2e_fps_median": round(fps_median, 2),
         "e2e_fps_trials": [round(t, 1) for t in trials],
         "compute_fps": round(c_fps, 2),

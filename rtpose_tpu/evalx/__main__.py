@@ -33,6 +33,11 @@ def main():
     parser.add_argument("--gaussian-filt", action="store_true",
                         help="sigma=3 NMS refine smoothing (reference "
                              "bool_gaussian_filt, default off)")
+    parser.add_argument("--multiscale", default=None, metavar="S1,S2,...",
+                        help="comma-separated TTA scale factors (e.g. "
+                             "0.5,1.0,1.5,2.0): fused multi-scale eval via "
+                             "PosePipeline.run_multiscale (single-image "
+                             "path; incompatible with --batch)")
     parser.add_argument("--flip", action="store_true", default=True)
     parser.add_argument("--no-flip", dest="flip", action="store_false")
     parser.add_argument("--limit", type=int, default=None)
@@ -48,6 +53,21 @@ def main():
                         help="write results json here")
     parser.add_argument("--fp32", action="store_true")
     args = parser.parse_args()
+
+    scales = None
+    if args.multiscale:
+        try:
+            scales = tuple(float(s) for s in args.multiscale.split(","))
+        except ValueError:
+            raise SystemExit(f"--multiscale: could not parse "
+                             f"{args.multiscale!r} as comma-separated "
+                             f"floats")
+        if not scales or any(s <= 0 for s in scales):
+            raise SystemExit("--multiscale needs positive scale factors")
+        if args.batch or args.data_parallel:
+            raise SystemExit("--multiscale runs the single-image fused-TTA "
+                             "path; drop --batch/--data-parallel (batched "
+                             "eval is flip-only)")
 
     mesh = None
     if args.data_parallel:
@@ -70,7 +90,7 @@ def main():
         stats = run_eval(args.image_dir, args.ann, pipe,
                          vis_dir=args.vis_dir, limit=args.limit,
                          score_mode=args.score_mode,
-                         results_path=args.results)
+                         results_path=args.results, scales=scales)
     print(json.dumps(stats, indent=2))
     print(f"mAP (OKS .50:.95) = {stats['AP']:.4f}")
 

@@ -75,9 +75,16 @@ def run_eval(image_dir: str, ann_file: str, pipeline: PosePipeline, *,
              img_ids: Optional[Sequence[int]] = None,
              limit: Optional[int] = None,
              results_path: Optional[str] = None,
-             score_mode: str = "parity") -> Dict[str, float]:
+             score_mode: str = "parity",
+             scales: Optional[Sequence[float]] = None) -> Dict[str, float]:
     """Evaluate on COCO val images; returns the stats dict (stats['AP'] is
-    the headline mAP)."""
+    the headline mAP).
+
+    ``scales``: multi-scale TTA factors (e.g. ``(0.5, 1.0, 1.5, 2.0)``) —
+    routes each image through the fused single-dispatch
+    :meth:`PosePipeline.run_multiscale` (the multi-scale scaffolding the
+    reference left unwired, coco_eval.py:107). None = single scale
+    (flip TTA still applies per the pipeline's flip setting)."""
     import cv2
 
     coco = CocoJson(ann_file)
@@ -93,7 +100,11 @@ def run_eval(image_dir: str, ann_file: str, pipeline: PosePipeline, *,
     for i, img_id in enumerate(img_ids):
         info = coco.image_info(img_id)
         img = _imread_checked(os.path.join(image_dir, info["file_name"]))
-        people, heat, _paf, meta = pipeline.run(img)
+        if scales:
+            people, heat, _paf, meta = pipeline.run_multiscale(
+                img, tuple(scales))
+        else:
+            people, heat, _paf, meta = pipeline.run(img)
         n_retried += bool(meta.get("retried"))
         n_truncated += bool(meta["truncated"])
         h_up, w_up = meta["upsampled"]
