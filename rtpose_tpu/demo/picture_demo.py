@@ -10,44 +10,39 @@ import argparse
 
 
 def build_pipeline(args, mesh=None):
-    import jax
+    import os
+
     import jax.numpy as jnp
 
     from ..utils.compile_cache import enable as _enable_compile_cache
     _enable_compile_cache()
 
-    from ..infer.pipeline import PosePipeline
-    from ..models import get_model
-    from ..models.import_torch import (import_rtpose_state_dict,
-                                       load_torch_checkpoint)
+    from ..infer.pipeline import load_pipeline
 
-    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
-    model = get_model(args.model, num_stages=args.stages, dtype=dtype)
-    # jit the init: eager flax init dispatches hundreds of tiny ops, each
-    # paying the tunnel's ~0.4 s per-dispatch compile RTT (minutes of
-    # startup); one jitted program compiles once and persists in the cache
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, args.input_size, args.input_size, 3)))
-    if args.weight:
-        sd = load_torch_checkpoint(args.weight)
-        params = jax.tree_util.tree_map(
-            jnp.asarray, import_rtpose_state_dict(sd, params))
-        print(f"loaded weights from {args.weight}")
+    # --weight accepts BOTH the reference's torch .pth/.ckpt files and an
+    # orbax checkpoint DIRECTORY written by this framework's Trainer
+    # (params-only restore, best step) — train here, eval/demo here
+    is_ckpt_dir = bool(args.weight) and os.path.isdir(args.weight)
     downsample = getattr(args, "downsample", 0) or \
         (4 if args.model == "hourglass" else 8)
     # hourglass: stride-4 stem + depth-4 pooling needs the padded input
     # divisible by 64 for its skip-add shapes to line up (reference
     # train_SH.py uses a fixed 256 square for the same reason)
     pad_factor = 64 if args.model == "hourglass" else 0
-    return PosePipeline(model, params, input_size=args.input_size,
-                        preprocess_mode=args.preprocess, flip=args.flip,
-                        mesh=mesh, downsample=downsample,
-                        pad_factor=pad_factor,
-                        gaussian_filt=getattr(args, "gaussian_filt", False),
-                        device_resize=(
-                            "auto" if getattr(args, "device_resize", False)
-                            else False))
+    pipe = load_pipeline(
+        checkpoint_dir=args.weight if is_ckpt_dir else None,
+        torch_weights=None if is_ckpt_dir else args.weight,
+        model_name=args.model, num_stages=args.stages,
+        input_size=args.input_size, preprocess_mode=args.preprocess,
+        flip=args.flip,
+        dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+        mesh=mesh, downsample=downsample, pad_factor=pad_factor,
+        gaussian_filt=getattr(args, "gaussian_filt", False),
+        device_resize=(
+            "auto" if getattr(args, "device_resize", False) else False))
+    if args.weight:
+        print(f"loaded weights from {args.weight}")
+    return pipe
 
 
 def add_common_args(parser):

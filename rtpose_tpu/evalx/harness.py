@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -186,6 +187,8 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
     outputs: List[dict] = []
     done = 0
     n_retried = n_truncated = 0
+    t_start = time.perf_counter()
+    bucket_rows = []
 
     def drain(chunk, frames, ticket):
         nonlocal done, n_retried, n_truncated
@@ -240,6 +243,7 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
 
     for shape, ids in sorted(buckets.items(),
                              key=lambda kv: -len(kv[1])):
+        t_bucket = time.perf_counter()
         # depth-2 pipeline within a bucket: chunk k+1's imread + H2D +
         # forward overlap chunk k's readback + result conversion (same
         # shape -> same compiled program, no pipeline-breaking recompile)
@@ -265,13 +269,26 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
                 drain(*pending)
         finally:
             stop.set()
-        print(f"bucket {shape}: {len(ids)} images done "
+        dt_bucket = time.perf_counter() - t_bucket
+        bucket_rows.append((shape, len(ids), dt_bucket))
+        print(f"bucket {shape}: {len(ids)} images in {dt_bucket:.1f}s "
               f"({done}/{len(img_ids)})")
 
+    pipeline_s = time.perf_counter() - t_start
     if results_path:
         with open(results_path, "w") as f:
             json.dump(outputs, f)
+    t_eval = time.perf_counter()
     stats = eval_results(outputs, coco, img_ids)
+    # pipeline vs evaluator-tail split (the COCO-val-scale rehearsal
+    # measurement): pipeline_s covers imread + H2D + forward + decode +
+    # readback over all buckets, evaluator_s the host-side OKS scoring
+    stats["pipeline_s"] = round(pipeline_s, 2)
+    stats["evaluator_s"] = round(time.perf_counter() - t_eval, 2)
+    stats["n_buckets"] = len(bucket_rows)
+    # tail fragmentation signal: images in buckets smaller than one batch
+    stats["images_in_sub_batch_buckets"] = sum(
+        n for _, n, _ in bucket_rows if n < batch_size)
     return _attach_truncation_stats(stats, n_retried, n_truncated)
 
 

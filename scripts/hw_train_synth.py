@@ -26,16 +26,22 @@ sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
 
-def render_scene(rng, size=368, n_people=3):
-    """Colored-skeleton scene + padded keypoints (learnable mapping)."""
+def render_scene(rng, size=368, n_people=3, height=None, width=None):
+    """Colored-skeleton scene + padded keypoints (learnable mapping).
+
+    height/width override ``size`` for non-square scenes (the COCO-val
+    dress-rehearsal set samples real val2017 resolutions)."""
     import cv2
 
     from rtpose_tpu.skeleton import LIMBS, NUM_PARTS
     from util_synth import random_people
 
-    img = (rng.rand(size // 8, size // 8, 3) * 80 + 60).astype(np.uint8)
-    img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
-    people = random_people(rng, n_people, size, size,
+    h = height or size
+    w = width or size
+    img = (rng.rand(max(1, h // 8), max(1, w // 8), 3) * 80
+           + 60).astype(np.uint8)
+    img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+    people = random_people(rng, n_people, h, w,
                            scale_range=(0.25, 0.6))
     part_colors = [(int(37 * p % 255), int(91 * p % 255), 255 - 13 * p % 255)
                    for p in range(NUM_PARTS)]
