@@ -104,9 +104,11 @@ def make_pool(seed, n_batches, batch, size, max_people):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="vgg19",
-                    help="vgg19 | hourglass (hourglass switches to the "
-                         "train_SH recipe: stride 4, sigma 4.416, limb "
-                         "width 1.289, masked loss, BatchNorm state)")
+                    help="vgg19 | hourglass | shufflenet_v2 (hourglass "
+                         "switches to the train_SH recipe: stride 4, sigma "
+                         "4.416, limb width 1.289, masked loss, BatchNorm "
+                         "state; shufflenet_v2 uses the train_ShuffleNetV2 "
+                         "recipe: stride 8, sigma 7, unmasked MSE, BN)")
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--size", type=int, default=184)
     ap.add_argument("--stages", type=int, default=2)
@@ -151,6 +153,16 @@ def main():
         cfg.dataset.sigma = 4.416
         cfg.dataset.limb_width = 1.289
         cfg.train.masked_loss = True
+    elif args.model == "shufflenet_v2":
+        # the reference's third trainer recipe
+        # (train_ShuffleNetV2.py:262-267,289): 368 px input at stride 8,
+        # sigma 7, plain (unmasked) MSE, BatchNorm running stats — all of
+        # which are the Config defaults; the single-stage net ignores
+        # --stages.  Sizes just need stride-8 divisibility.
+        if args.size % 8:
+            raise SystemExit(
+                f"--model shufflenet_v2 needs --size divisible by 8 "
+                f"(stem+pool+stage2 strides); got {args.size}")
     cfg.train.lr = args.lr
     cfg.train.clip_grad_norm = args.clip
     cfg.model.init_scheme = "scratch"  # no pretrained trunk in the image
