@@ -28,7 +28,8 @@ def build_pipeline(args, mesh=None):
     # hourglass: stride-4 stem + depth-4 pooling needs the padded input
     # divisible by 64 for its skip-add shapes to line up (reference
     # train_SH.py uses a fixed 256 square for the same reason)
-    pad_factor = 64 if args.model == "hourglass" else 0
+    pad_factor = (64 if args.model == "hourglass"
+                  else getattr(args, "pad_to", 0))
     pipe = load_pipeline(
         checkpoint_dir=args.weight if is_ckpt_dir else None,
         torch_weights=None if is_ckpt_dir else args.weight,

@@ -27,6 +27,15 @@ def main():
     parser.add_argument("--batch", type=int, default=0,
                         help=">0: batched bucketed eval "
                              "(harness.run_eval_batched)")
+    parser.add_argument("--pad-to", type=int, default=0, metavar="N",
+                        help="quantize padded eval shapes up to multiples "
+                             "of N px (e.g. 64): collapses the long tail "
+                             "of per-resolution shape buckets into a "
+                             "handful, so a val2017-scale first run pays "
+                             "~10 program compiles instead of ~50 (the "
+                             "extra border is fill; detections are "
+                             "unaffected). 0 = exact stride-8 pads "
+                             "(reference parity)")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard eval batches over all local devices "
                              "(PosePipeline mesh serving); implies --batch")

@@ -162,3 +162,88 @@ def test_run_eval_batched_consumer_error_unblocks_producer(coco_val):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.1)
     assert threading.active_count() <= before
+
+
+def test_run_eval_batched_pads_partial_chunks(coco_val):
+    """The remainder chunk is padded to batch_size (so every bucket runs
+    ONE compiled program — at COCO-val scale the second tail-batch compile
+    dominated bucket wall time) and the pad frames' results are dropped:
+    the results json matches the unpadded run."""
+    from rtpose_tpu.evalx.harness import run_eval_batched
+    img_dir, ann_file, tmp = coco_val
+    model = get_model("vgg19", num_stages=1, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    def spying_pipe():
+        pipe = PosePipeline(model, params, input_size=56, flip=False)
+        sizes = []
+        orig = pipe.run_batch_submit
+        pipe.run_batch_submit = (
+            lambda frames: (sizes.append(len(frames)), orig(frames))[1])
+        return pipe, sizes
+
+    # 2 images in one bucket, batch_size 4 -> one padded chunk of 4
+    pipe, sizes = spying_pipe()
+    r_pad = str(tmp / "r_pad.json")
+    stats = run_eval_batched(img_dir, ann_file, pipe, batch_size=4,
+                             results_path=r_pad)
+    assert sizes == [4]
+    assert stats["frames_retried"] + stats["frames_truncated"] == 0
+
+    pipe, sizes = spying_pipe()
+    r_exact = str(tmp / "r_exact.json")
+    run_eval_batched(img_dir, ann_file, pipe, batch_size=4,
+                     results_path=r_exact, pad_partial=False)
+    assert sizes == [2]
+
+    padded = json.load(open(r_pad))
+    exact = json.load(open(r_exact))
+    assert len(padded) == len(exact)
+    for a, b in zip(padded, exact):
+        assert a["image_id"] == b["image_id"]
+        np.testing.assert_allclose(a["keypoints"], b["keypoints"],
+                                   atol=1e-4)
+
+
+def test_run_eval_batched_pad_factor_collapses_buckets(tmp_path):
+    """pad_factor quantizes padded shapes: images whose exact stride-8
+    pads differ land in ONE bucket (one compile) when the pipeline pads to
+    a coarser multiple — the evalx --pad-to flag's mechanism."""
+    from rtpose_tpu.evalx.harness import run_eval_batched
+    rng = np.random.RandomState(1)
+    img_dir = tmp_path / "val"
+    img_dir.mkdir()
+    images, annotations = [], []
+    for img_id, (h, w) in enumerate([(80, 96), (80, 107)], start=1):
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        name = f"{img_id:012d}.jpg"
+        PIL.Image.fromarray(arr).save(img_dir / name)
+        images.append({"id": img_id, "file_name": name,
+                       "width": w, "height": h})
+        kps = []
+        for _ in range(17):
+            kps += [float(rng.uniform(10, w - 10)),
+                    float(rng.uniform(10, h - 10)), 2]
+        annotations.append({"id": img_id, "image_id": img_id,
+                            "category_id": 1, "keypoints": kps,
+                            "num_keypoints": 17, "area": 2000.0,
+                            "iscrowd": 0, "bbox": [10, 10, 60, 50],
+                            "segmentation": []})
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(
+        {"images": images, "annotations": annotations,
+         "categories": [{"id": 1, "name": "person"}]}))
+
+    model = get_model("vgg19", num_stages=1, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    pipe = PosePipeline(model, params, input_size=56, flip=False)
+    stats = run_eval_batched(str(img_dir), str(ann_file), pipe,
+                             batch_size=2)
+    assert stats["n_buckets"] == 2   # exact pads: (56, 72) vs (56, 80)
+
+    pipe16 = PosePipeline(model, params, input_size=56, flip=False,
+                          pad_factor=16)
+    stats16 = run_eval_batched(str(img_dir), str(ann_file), pipe16,
+                               batch_size=2)
+    assert stats16["n_buckets"] == 1  # both pad to (64, 80)

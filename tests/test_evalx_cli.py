@@ -118,3 +118,13 @@ def test_evalx_cli_multiscale_rejects(fixture_set, monkeypatch, capsys,
         "--input-size", "56", "--fp32", "--no-flip"] + extra)
     with pytest.raises(SystemExit, match=msg):
         main()
+
+
+def test_evalx_cli_pad_to(fixture_set, monkeypatch, capsys):
+    """--pad-to quantizes eval shape buckets (build_pipeline pad_factor)."""
+    img_dir, ann = fixture_set
+    out = _run_cli(["--image-dir", img_dir, "--ann", ann, "--stages", "1",
+                    "--input-size", "56", "--fp32", "--no-flip",
+                    "--batch", "2", "--pad-to", "64"],
+                   monkeypatch, capsys)
+    assert '"n_buckets": 1' in out
