@@ -420,10 +420,19 @@ class PosePipeline:
         trunc = np.asarray(people_host.truncated)[:len(metas)]
         retry_host, retry_pos = None, {}
         if self.auto_retry and trunc.any():
-            # one extra batched decode dispatch covering ONLY the truncated
-            # frames, from the still-on-device maps (no second forward)
+            # one extra batched decode dispatch covering the truncated
+            # frames, from the still-on-device maps (no second forward).
+            # The row selection is PADDED to the full batch size (repeating
+            # the first truncated frame): a k-row retry batch would compile
+            # one XLA program PER DISTINCT k — measured 8-15 s per new k on
+            # the tunnel TPU, which dwarfed the decode it replaced on
+            # crowd-dense eval (scripts/crowded_eval_bench.py). Fixed-shape
+            # padding means exactly one retry program per bucket shape; the
+            # wasted decode rows cost ~0.6 ms each.
             idxs = np.nonzero(trunc)[0]
-            sel = jnp.asarray(idxs)
+            pad = np.full(heat.shape[0] - len(idxs), idxs[0],
+                          dtype=idxs.dtype)
+            sel = jnp.asarray(np.concatenate([idxs, pad]))
             sharded = self.mesh is not None and self.mesh.size > 1
             caps = dict(self.retry_caps)
             caps.setdefault("sampling", "onehot" if sharded else "auto")

@@ -125,6 +125,53 @@ def test_run_batch_collect_retries_only_truncated_frames():
         assert a["parts"] == b["parts"]
 
 
+def test_batched_retry_pads_selection_to_full_batch(monkeypatch):
+    """The retry re-decode must receive a FULL-batch-sized input no matter
+    how many frames truncated: a data-dependent row count compiles a new
+    XLA program per distinct count (8-15 s each on the tunnel TPU — the
+    crowd-dense eval bench fell to 9 img/s before the padding fix,
+    scripts/crowded_eval_bench.py / SCALING.md)."""
+    people_gt, heat_c, paf_c = _crowd_maps()
+    rng = np.random.RandomState(1)
+    sparse = grid_people(1, 1, 46, 46, rng)
+    heat_s, paf_s = render_maps(sparse, 46, 46)
+    heat_s = jnp.asarray(heat_s)
+    paf_s = jnp.asarray(paf_s + rng.normal(0, 1e-4, paf_s.shape)
+                        .astype(np.float32))
+
+    pipe = _tiny_pipeline()
+
+    def fake_batch(params, batch):
+        heat = jnp.stack([heat_c, heat_s, heat_c])   # frames 0,2 overflow
+        paf = jnp.stack([paf_c, paf_s, paf_c])
+        from rtpose_tpu.ops.decode import decode_poses_batch
+        people = decode_poses_batch(heat, paf, sampling="gather", **TIGHT)
+        return people, heat, paf
+
+    pipe._infer_batch = fake_batch
+
+    retry_shapes = []
+    import rtpose_tpu.infer.pipeline as pl
+    real = pl.decode_poses_batch
+
+    def spy(heat, paf, **kw):
+        retry_shapes.append(heat.shape)
+        return real(heat, paf, **kw)
+
+    monkeypatch.setattr(pl, "decode_poses_batch", spy)
+    frames = [np.zeros((368, 368, 3), np.uint8) for _ in range(3)]
+    people_lists, metas = pipe.run_batch_collect(
+        pipe.run_batch_submit(frames))
+    assert len(retry_shapes) == 1
+    # 2 truncated frames, but the retry batch is padded to all 3 rows
+    assert retry_shapes[0][0] == 3
+    assert [bool(m.get("retried")) for m in metas] == [True, False, True]
+    # pad rows repeat a real frame; results must still map per-frame
+    assert len(people_lists[0]) == len(people_gt)
+    assert len(people_lists[2]) == len(people_gt)
+    assert len(people_lists[1]) == len(sparse)
+
+
 def test_eval_harness_zero_silent_truncations(tmp_path):
     """A crowded synthetic COCO-format eval set evaluates with the retry
     firing and NO frame left truncated; AP stays near-oracle (the retried
