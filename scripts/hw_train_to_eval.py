@@ -104,11 +104,14 @@ def make_pool(seed, n_batches, batch, size, max_people):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="vgg19",
-                    help="vgg19 | hourglass | shufflenet_v2 (hourglass "
-                         "switches to the train_SH recipe: stride 4, sigma "
-                         "4.416, limb width 1.289, masked loss, BatchNorm "
-                         "state; shufflenet_v2 uses the train_ShuffleNetV2 "
-                         "recipe: stride 8, sigma 7, unmasked MSE, BN)")
+                    help="vgg19 | hourglass | shufflenet_v2 | mobilenet | "
+                         "openpose_v2 (hourglass switches to the train_SH "
+                         "recipe: stride 4, sigma 4.416, limb width 1.289, "
+                         "masked loss, BatchNorm state; shufflenet_v2 uses "
+                         "the train_ShuffleNetV2 recipe: stride 8, sigma 7, "
+                         "unmasked MSE, BN; mobilenet/openpose_v2 use the "
+                         "stride-8 defaults — the reference never wired a "
+                         "trainer for either)")
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--size", type=int, default=184)
     ap.add_argument("--stages", type=int, default=2)
@@ -163,6 +166,17 @@ def main():
             raise SystemExit(
                 f"--model shufflenet_v2 needs --size divisible by 8 "
                 f"(stem+pool+stage2 strides); got {args.size}")
+    elif args.model in ("mobilenet", "openpose_v2"):
+        # Families the reference assembled but never wired a trainer for
+        # (rtpose_mobilenetV2.py / openpose.py): stride-8 output, sigma 7,
+        # unmasked MSE — the Config defaults.  mobilenet threads BatchNorm
+        # running stats like shufflenet; openpose_v2 is stage-structured
+        # like vgg19 (num_paf_stages=4 + num_heat_stages=2 internally,
+        # --stages is accepted for the call contract and ignored).
+        if args.size % 8:
+            raise SystemExit(
+                f"--model {args.model} needs --size divisible by 8 "
+                f"(stride-8 trunk); got {args.size}")
     cfg.train.lr = args.lr
     cfg.train.clip_grad_norm = args.clip
     cfg.model.init_scheme = "scratch"  # no pretrained trunk in the image
