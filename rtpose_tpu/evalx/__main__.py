@@ -32,10 +32,11 @@ def main():
                              "of N px (e.g. 64): collapses the long tail "
                              "of per-resolution shape buckets into a "
                              "handful, so a val2017-scale first run pays "
-                             "~10 program compiles instead of ~50 (the "
-                             "extra border is fill; detections are "
-                             "unaffected). 0 = exact stride-8 pads "
-                             "(reference parity)")
+                             "~10 program compiles instead of ~50. The "
+                             "extra zero border perturbs edge activations "
+                             "slightly (AP shifted 4e-4 on the 5000-image "
+                             "rehearsal); keep the default 0 = exact "
+                             "stride-8 pads for strict reference parity")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard eval batches over all local devices "
                              "(PosePipeline mesh serving); implies --batch")

@@ -59,7 +59,10 @@ def main():
                   input_size=args.size, preprocess_mode="vgg", flip=True)
     configs = {
         "default+retry": dict(),                   # retries fire on overflow
-        "raised-caps": dict(**RETRY_CAPS),         # every frame, big program
+        # every frame runs the big program; auto_retry off so a frame that
+        # overflows even these caps can't fire an identical-caps re-decode
+        # dispatch and bias the arm whose point is avoiding retry dispatches
+        "raised-caps": dict(**RETRY_CAPS, auto_retry=False),
     }
 
     rows = []

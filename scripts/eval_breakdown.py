@@ -42,7 +42,8 @@ def main():
     from rtpose_tpu.infer.pipeline import load_pipeline, people_to_numpy
     from rtpose_tpu.infer.preprocess import scale_pad_geometry
 
-    pipe = load_pipeline(args.weight, model="vgg19", num_stages=args.stages,
+    pipe = load_pipeline(args.weight, model_name="vgg19",
+                         num_stages=args.stages,
                          preprocess_mode="vgg", flip=True)
 
     coco = CocoJson(args.ann)

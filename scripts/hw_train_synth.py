@@ -60,6 +60,32 @@ def render_scene(rng, size=368, n_people=3, height=None, width=None):
     return img, kps
 
 
+def person_to_coco_annotation(person, img_id, ann_id):
+    """Rendered 18-part pose -> COCO 17-kp person annotation dict (the
+    inverse of evalx.harness.person_to_coco_keypoints' part order), or
+    None when the pose has no visible parts.  Shared by the held-out
+    eval-set writer (hw_train_to_eval.py) and the val2017-scale
+    rehearsal writer (cocoval_rehearsal.py) so visibility/bbox semantics
+    cannot diverge between the two synthetic sets."""
+    from rtpose_tpu.skeleton import ORDER_COCO
+
+    if not person[:, 2].any():
+        return None
+    coco_kp = np.zeros((17, 3))
+    for slot, part in enumerate(ORDER_COCO):
+        coco_kp[slot] = (person[part, 0], person[part, 1], 2)
+    xs, ys = coco_kp[:, 0], coco_kp[:, 1]
+    return {
+        "id": ann_id, "image_id": img_id, "category_id": 1,
+        "keypoints": [float(v) for v in coco_kp.reshape(-1)],
+        "num_keypoints": 17, "iscrowd": 0,
+        "area": float((xs.max() - xs.min()) * (ys.max() - ys.min())),
+        "bbox": [float(xs.min()), float(ys.min()),
+                 float(xs.max() - xs.min()),
+                 float(ys.max() - ys.min())],
+    }
+
+
 def make_batches(seed, n_batches, batch, size):
     rng = np.random.RandomState(seed)
     out = []

@@ -42,7 +42,7 @@ def write_coco_eval_set(out_dir, seed, n_images, size, max_people, *,
     real COCO)."""
     import cv2
 
-    from rtpose_tpu.skeleton import ORDER_COCO
+    from hw_train_synth import person_to_coco_annotation
 
     img_dir = os.path.join(out_dir, img_subdir)
     os.makedirs(img_dir, exist_ok=True)
@@ -58,21 +58,10 @@ def write_coco_eval_set(out_dir, seed, n_images, size, max_people, *,
         images.append({"id": img_id, "file_name": fname,
                        "height": size, "width": size})
         for person in kps:
-            if not person[:, 2].any():
+            ann = person_to_coco_annotation(person, img_id, ann_id)
+            if ann is None:
                 continue
-            coco_kp = np.zeros((17, 3))
-            for slot, part in enumerate(ORDER_COCO):
-                coco_kp[slot] = (person[part, 0], person[part, 1], 2)
-            xs, ys = coco_kp[:, 0], coco_kp[:, 1]
-            annotations.append({
-                "id": ann_id, "image_id": img_id, "category_id": 1,
-                "keypoints": [float(v) for v in coco_kp.reshape(-1)],
-                "num_keypoints": 17, "iscrowd": 0,
-                "area": float((xs.max() - xs.min()) * (ys.max() - ys.min())),
-                "bbox": [float(xs.min()), float(ys.min()),
-                         float(xs.max() - xs.min()),
-                         float(ys.max() - ys.min())],
-            })
+            annotations.append(ann)
             ann_id += 1
     ann_file = os.path.join(out_dir, ann_name)
     with open(ann_file, "w") as f:
