@@ -88,19 +88,23 @@ def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
     any fp reimplementation of the reference C++ has (scripts/
     soak_decode.py measures the people-level effect at <0.5%).  Modes are
     chosen for speed per backend:
-    - 'auto' (default): 'pallas' on TPU, 'onehot' elsewhere
-    - 'pallas': fused VMEM-resident kernel — measured 0.39 ms/img vs 0.64
-      for 'onehot' on the v5e (no HBM'd one-hot intermediates)
+    - 'auto' (default): 'pallas_fused' on TPU, 'onehot' elsewhere
+    - 'pallas_fused': VMEM-resident kernel, all 19 pairs per grid step
+      (one step per image under vmap) — amortizes the per-step dispatch
+      latency that bounds the per-pair kernel (measured round 4)
+    - 'pallas': same kernel body, one PAIR per grid step — measured 0.39
+      ms/img vs 0.64 for 'onehot' on the v5e (no HBM'd intermediates)
     - 'onehot': XLA scan of one-hot row/column contractions
     - 'gather': naive jnp.take (TPU has no hardware gather: ~400 ms per
       72-image batch vs ~10 ms; kept for differential tests / large-K on
       CPU)
     """
     if sampling == "auto":
-        sampling = "pallas" if jax.default_backend() == "tpu" else "onehot"
-    if sampling not in ("onehot", "gather", "pallas"):
-        raise ValueError(f"sampling must be 'auto', 'onehot', 'gather' or "
-                         f"'pallas', got {sampling!r}")
+        sampling = ("pallas_fused" if jax.default_backend() == "tpu"
+                    else "onehot")
+    if sampling not in ("onehot", "gather", "pallas", "pallas_fused"):
+        raise ValueError(f"sampling must be 'auto', 'onehot', 'gather', "
+                         f"'pallas' or 'pallas_fused', got {sampling!r}")
     h, w, _ = paf.shape
     h_up = h * factor
     K = peaks.x.shape[1]
@@ -124,10 +128,14 @@ def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
     # (pafprocess.cpp:223-229), so 1-ulp rounding matches the host backends
     step_x = dx / STEP_PAF                         # (19, Ka, Kb)
     step_y = dy / STEP_PAF
-    if sampling == "pallas":
-        # fused VMEM-resident kernel (ops/pallas_kernels.py): bit-identical
-        # accumulation order, no HBM'd one-hot intermediates
-        from .pallas_kernels import paf_sample_scores
+    if sampling in ("pallas", "pallas_fused"):
+        # fused VMEM-resident kernels (ops/pallas_kernels.py): bit-identical
+        # accumulation order, no HBM'd one-hot intermediates.  The _fused
+        # variant runs all 19 pairs in one grid step (one step per image
+        # under vmap) — the per-pair kernel is per-step-latency-bound.
+        from .pallas_kernels import paf_sample_scores, paf_sample_scores_fused
+        kern = (paf_sample_scores_fused if sampling == "pallas_fused"
+                else paf_sample_scores)
         C = K * K
         pafxt = jnp.moveaxis(paf[:, :, _PAIR_CHX], -1, 0)   # (19, h, w)
         pafxt = jnp.swapaxes(pafxt, 1, 2)                    # (19, w, h)
@@ -141,7 +149,7 @@ def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
             ux.reshape(-1, C),
             uy.reshape(-1, C),
         ], axis=1)                                           # (19, 6, C)
-        cnt_f, ssum = paf_sample_scores(pafxt, pafyt, geo, factor=factor)
+        cnt_f, ssum = kern(pafxt, pafyt, geo, factor=factor)
         cnt = cnt_f.reshape(NUM_GROUP_PAIRS, K, K).astype(jnp.int32)
         mean = ssum.reshape(NUM_GROUP_PAIRS, K, K) / STEP_PAF
     elif sampling == "onehot":

@@ -96,37 +96,57 @@ _THRESH_VECTOR_SCORE = 0.05
 
 
 def _make_paf_scores_kernel(factor: int):
-    def kernel(pafxt_ref, pafyt_ref, geo_ref, cnt_ref, sum_ref):
-        _paf_scores_body(pafxt_ref, pafyt_ref, geo_ref, cnt_ref, sum_ref,
-                         factor)
+    def kernel(pafcat_ref, geo_ref, cnt_ref, sum_ref):
+        cnt, ssum = _paf_scores_pair(pafcat_ref[0], geo_ref[0], factor)
+        cnt_ref[0] = cnt
+        sum_ref[0] = ssum
     return kernel
 
 
-def _paf_scores_body(pafxt_ref, pafyt_ref, geo_ref, cnt_ref, sum_ref,
-                     factor):
-    """One pair per grid step.
+def _make_paf_scores_fused_kernel(factor: int, n_pairs: int):
+    def kernel(pafcat_ref, geo_ref, cnt_ref, sum_ref):
+        # all pairs in ONE grid step: per-pair accumulation order is
+        # unchanged (bit-parity with the per-pair kernel), but the grid
+        # shrinks B*19 -> B so the per-step dispatch latency amortizes
+        for p in range(n_pairs):
+            cnt, ssum = _paf_scores_pair(pafcat_ref[p], geo_ref[p], factor)
+            cnt_ref[p] = cnt
+            sum_ref[p] = ssum
+    return kernel
 
-    pafxt_ref / pafyt_ref: (1, W, H) f32 — transposed per-pair PAF planes
-        (row index = grid column q, col index = grid row r) so the row
-        one-hot contraction is a plain MXU matmul.
-    geo_ref: (1, 6, C) f32 rows [ax, ay, step_x, step_y, ux, uy]
-    cnt_ref / sum_ref: (1, 1, C) f32 outputs (unit middle dim keeps the
-        trailing block dims equal to the array dims — Mosaic requires the
-        last two block dims be 8/128-divisible or full).
+
+def _paf_scores_pair(pafcat, geo, factor):
+    """Score all C candidates of one limb pair.
+
+    pafcat: (2W, H) f32 — the pair's transposed x-PAF plane stacked on its
+        y-plane (row index = grid column q, col index = grid row r).  Both
+        components share the SAME one-hot rhs (they sample the same cell),
+        and 2W = 92 rows still fit one 128-row MXU tile at rtpose sizes —
+        stacking makes the y-component matmul free (round-4 measurement:
+        the kernel is matmul-bound, not grid-step-bound).
+    geo: (6, C) f32 rows [ax, ay, step_x, step_y, ux, uy]
+    Returns (cnt, ssum), each (1, C) f32.
+
+    Numerics: sc folds ux*px + uy*py into one weighted reduce over the 2W
+    rows.  Only two addends are nonzero (the selected x-row and y-row) and
+    fp32 addition of exact zeros is exact, so sc is bit-equal to the
+    two-matmul form (up to +/-0.0, which compares equal everywhere).
     """
-    w, h = pafxt_ref.shape[1], pafxt_ref.shape[2]
-    c = geo_ref.shape[2]
-    pafxt = pafxt_ref[0]
-    pafyt = pafyt_ref[0]
-    ax = geo_ref[0, 0:1, :]          # (1, C)
-    ay = geo_ref[0, 1:2, :]
-    step_x = geo_ref[0, 2:3, :]
-    step_y = geo_ref[0, 3:4, :]
-    ux = geo_ref[0, 4:5, :]
-    uy = geo_ref[0, 5:6, :]
+    w2, h = pafcat.shape
+    w = w2 // 2
+    c = geo.shape[1]
+    ax = geo[0:1, :]          # (1, C)
+    ay = geo[1:2, :]
+    step_x = geo[2:3, :]
+    step_y = geo[3:4, :]
+    ux = geo[4:5, :]
+    uy = geo[5:6, :]
 
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, c), 0)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, c), 0)
+    iota_w2 = jax.lax.broadcasted_iota(jnp.int32, (w2, c), 0)
+    # per-row weight: ux for the x-plane rows, uy for the y-plane rows
+    uxy = jnp.where(iota_w2 < w, jnp.broadcast_to(ux, (w2, c)),
+                    jnp.broadcast_to(uy, (w2, c)))          # (2W, C)
     cnt = jnp.zeros((1, c), jnp.float32)
     ssum = jnp.zeros((1, c), jnp.float32)
     for s in range(_STEP_PAF):
@@ -137,19 +157,15 @@ def _paf_scores_body(pafxt_ref, pafyt_ref, geo_ref, cnt_ref, sum_ref,
         gx = jnp.clip(lx // factor, 0, w - 1)  # nearest-up == idx division
         gy = jnp.clip(ly // factor, 0, h - 1)
         yoh = (iota_h == gy).astype(jnp.float32)          # (H, C)
-        xoh = (iota_w == gx).astype(jnp.float32)          # (W, C)
-        # one-hot row selection as an fp32-exact MXU pass (0/1 weights)
-        rowx = jnp.dot(pafxt, yoh, precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)   # (W, C)
-        rowy = jnp.dot(pafyt, yoh, precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
-        px = jnp.sum(rowx * xoh, axis=0, keepdims=True)       # (1, C)
-        py = jnp.sum(rowy * xoh, axis=0, keepdims=True)
-        sc = ux * px + uy * py
+        # one-hot row selection as an fp32-exact MXU pass (0/1 weights);
+        # one matmul covers both components
+        rowcat = jnp.dot(pafcat, yoh, precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)  # (2W, C)
+        xoh2 = ((iota_w2 == gx) | (iota_w2 == gx + w)).astype(jnp.float32)
+        sc = jnp.sum(rowcat * xoh2 * uxy, axis=0, keepdims=True)  # (1, C)
         cnt = cnt + (sc > _THRESH_VECTOR_SCORE).astype(jnp.float32)
         ssum = ssum + sc
-    cnt_ref[0] = cnt
-    sum_ref[0] = ssum
+    return cnt, ssum
 
 
 @functools.partial(jax.jit, static_argnames=("factor", "interpret"))
@@ -168,12 +184,11 @@ def paf_sample_scores(pafxt: jax.Array, pafyt: jax.Array, geo: jax.Array,
         interpret = jax.default_backend() != "tpu"
     P, W, H = pafxt.shape
     C = geo.shape[2]
+    pafcat = jnp.concatenate([pafxt, pafyt], axis=1)       # (P, 2W, H)
     grid_spec = pl.GridSpec(
         grid=(P,),
         in_specs=[
-            pl.BlockSpec((1, W, H), lambda p: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, H), lambda p: (p, 0, 0),
+            pl.BlockSpec((1, 2 * W, H), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 6, C), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -191,7 +206,51 @@ def paf_sample_scores(pafxt: jax.Array, pafyt: jax.Array, geo: jax.Array,
         out_shape=[jax.ShapeDtypeStruct((P, 1, C), jnp.float32),
                    jax.ShapeDtypeStruct((P, 1, C), jnp.float32)],
         interpret=interpret,
-    )(pafxt, pafyt, geo)
+    )(pafcat, geo)
+    return cnt[:, 0], ssum[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("factor", "interpret"))
+def paf_sample_scores_fused(pafxt: jax.Array, pafyt: jax.Array,
+                            geo: jax.Array, *, factor: int = 8,
+                            interpret: bool = None):
+    """`paf_sample_scores` with all P pairs in one grid step.
+
+    Same inputs/outputs and bit-identical per-pair accumulation; only the
+    grid shape differs: (1,) instead of (P,), so a vmapped batch runs B
+    sequential grid steps instead of B*P.  Measured round 4 on the v5e the
+    per-pair kernel is per-step-latency-bound (~22 us/step at B=64, tiny
+    46-row matmuls); fusing the pair loop amortizes that dispatch latency.
+    VMEM: all P planes + geo + outputs resident at once (~1.5 MB at K=32,
+    ~3.4 MB at K=64, 46x46 planes) — comfortably under the 16 MB budget.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    P, W, H = pafxt.shape
+    C = geo.shape[2]
+    pafcat = jnp.concatenate([pafxt, pafyt], axis=1)       # (P, 2W, H)
+    grid_spec = pl.GridSpec(
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((P, 2 * W, H), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 6, C), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((P, 1, C), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1, C), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    cnt, ssum = pl.pallas_call(
+        _make_paf_scores_fused_kernel(factor, P),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((P, 1, C), jnp.float32),
+                   jax.ShapeDtypeStruct((P, 1, C), jnp.float32)],
+        interpret=interpret,
+    )(pafcat, geo)
     return cnt[:, 0], ssum[:, 0]
 
 

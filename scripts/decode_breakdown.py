@@ -64,13 +64,19 @@ def main():
         P.nms(h), p)[0])
     score_pallas = bat(lambda h, p: G.score_connections(
         P.nms(h), p, sampling="pallas")[0])
+    score_fused = bat(lambda h, p: G.score_connections(
+        P.nms(h), p, sampling="pallas_fused")[0])
     full = bat(lambda h, p: decode_poses.__wrapped__(h, p).coords)
     full_pallas = bat(lambda h, p: decode_poses.__wrapped__(
         h, p, sampling="pallas").coords)
+    full_fused = bat(lambda h, p: decode_poses.__wrapped__(
+        h, p, sampling="pallas_fused").coords)
     full_k64 = bat(lambda h, p: decode_poses.__wrapped__(
         h, p, max_peaks=64).coords)
     full_k64_pallas = bat(lambda h, p: decode_poses.__wrapped__(
         h, p, max_peaks=64, sampling="pallas").coords)
+    full_k64_fused = bat(lambda h, p: decode_poses.__wrapped__(
+        h, p, max_peaks=64, sampling="pallas_fused").coords)
 
     ms = 1000.0 / BATCH
     t_coarse = timed(nms_coarse, heat)
@@ -78,10 +84,13 @@ def main():
     t_pallas = timed(nms_pallas, heat)
     t_score = timed(score_only, heat, paf)
     t_score_pl = timed(score_pallas, heat, paf)
+    t_score_fu = timed(score_fused, heat, paf)
     t_full = timed(full, heat, paf)
     t_full_pl = timed(full_pallas, heat, paf)
+    t_full_fu = timed(full_fused, heat, paf)
     t_full64 = timed(full_k64, heat, paf)
     t_full64_pl = timed(full_k64_pallas, heat, paf)
+    t_full64_fu = timed(full_k64_fused, heat, paf)
     print(f"nms coarse (no refine):    {t_coarse*ms:7.3f} ms/img")
     print(f"nms + XLA refine:          {t_nms*ms:7.3f} ms/img "
           f"(refine = {(t_nms-t_coarse)*ms:.3f})")
@@ -91,11 +100,15 @@ def main():
           f"(scoring = {(t_score-t_nms)*ms:.3f})")
     print(f"nms + PAF scoring pallas:  {t_score_pl*ms:7.3f} ms/img "
           f"(scoring = {(t_score_pl-t_nms)*ms:.3f})")
+    print(f"nms + PAF scoring fused:   {t_score_fu*ms:7.3f} ms/img "
+          f"(scoring = {(t_score_fu-t_nms)*ms:.3f})")
     print(f"full decode:               {t_full*ms:7.3f} ms/img "
           f"(greedy+assembly = {(t_full-t_score)*ms:.3f})")
     print(f"full decode pallas:        {t_full_pl*ms:7.3f} ms/img")
+    print(f"full decode pallas_fused:  {t_full_fu*ms:7.3f} ms/img")
     print(f"full decode K=64:          {t_full64*ms:7.3f} ms/img")
     print(f"full decode K=64 pallas:   {t_full64_pl*ms:7.3f} ms/img")
+    print(f"full decode K=64 fused:    {t_full64_fu*ms:7.3f} ms/img")
 
     # GT synthesis (training path), batch 72
     from rtpose_tpu.data.gt import _device_impl

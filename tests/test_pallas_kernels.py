@@ -57,11 +57,16 @@ def test_paf_sample_scores_matches_xla_paths():
         _, heat, paf = synth_example(seed=seed, n_people=1 + seed % 5)
         peaks = nms(jnp.asarray(heat))
         outs = {}
-        for mode in ("onehot", "gather", "pallas"):
+        for mode in ("onehot", "gather", "pallas", "pallas_fused"):
             s, v = G.score_connections(peaks, jnp.asarray(paf),
                                        sampling=mode)
             outs[mode] = (np.asarray(s), np.asarray(v))
-        for mode in ("gather", "pallas"):
+        # the two pallas variants share the accumulation order: bit-equal
+        np.testing.assert_array_equal(outs["pallas"][0],
+                                      outs["pallas_fused"][0])
+        np.testing.assert_array_equal(outs["pallas"][1],
+                                      outs["pallas_fused"][1])
+        for mode in ("gather", "pallas", "pallas_fused"):
             sv, vv = outs[mode]
             s0, v0 = outs["onehot"]
             np.testing.assert_array_equal(vv, v0, err_msg=f"{mode} seed={seed}")
