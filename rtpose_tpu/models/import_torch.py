@@ -96,6 +96,31 @@ def import_vgg19_imagenet(vgg_state_dict: Dict[str, np.ndarray],
     return out
 
 
+def export_rtpose_state_dict(params: Dict) -> Dict[str, np.ndarray]:
+    """Export a flax param tree to a reference-layout torch state_dict.
+
+    The exact inverse of :func:`import_rtpose_state_dict`: every conv
+    kernel goes HWIO -> OIHW under the `model0.*` / `model{T}_{B}.*`
+    nn.Sequential key scheme of the reference's ``rtpose_model``
+    (reference lib/network/rtpose_vgg.py:138-225), so a model trained
+    here can be loaded by the reference's own ``get_model('vgg19')`` via
+    ``load_state_dict`` (numpy values; wrap with torch.from_numpy for a
+    strict load).
+    """
+    tree = jax_tree_to_numpy(params)
+    root = tree["params"] if "params" in tree else tree
+    out: Dict[str, np.ndarray] = {}
+    for torch_prefix, path in torch_layout_map():
+        leaf = root
+        for p in path:
+            leaf = leaf[p]
+        out[f"{torch_prefix}.weight"] = np.ascontiguousarray(
+            np.transpose(np.asarray(leaf["kernel"], np.float32),
+                         (3, 2, 0, 1)))
+        out[f"{torch_prefix}.bias"] = np.asarray(leaf["bias"], np.float32)
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """torch.load a .pth/.ckpt and return a flat numpy state_dict."""
     import torch

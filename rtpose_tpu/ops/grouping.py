@@ -88,10 +88,16 @@ def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
     any fp reimplementation of the reference C++ has (scripts/
     soak_decode.py measures the people-level effect at <0.5%).  Modes are
     chosen for speed per backend:
-    - 'auto' (default): 'pallas_fused' on TPU, 'onehot' elsewhere
+    - 'auto' (default): on TPU 'pallas_fused' for K <= 32 and 'pallas'
+      for larger K (the K=64 retry path), 'onehot' elsewhere.  Round-5
+      hardware measurement (scripts/decode_breakdown.py, SCALING.md
+      decode table): full decode at K=32 fused 0.625 vs per-pair 0.674
+      ms/img; at K=64 fused 1.311 vs per-pair 1.226 — the fused kernel's
+      per-step win inverts once the K*K blocks grow
     - 'pallas_fused': VMEM-resident kernel, all 19 pairs per grid step
       (one step per image under vmap) — amortizes the per-step dispatch
-      latency that bounds the per-pair kernel (measured round 4)
+      latency that bounds the per-pair kernel; hardware-validated round 5
+      (rtpose_tpu.selftest decode parity runs this mode on TPU)
     - 'pallas': same kernel body, one PAIR per grid step — measured 0.39
       ms/img vs 0.64 for 'onehot' on the v5e (no HBM'd intermediates)
     - 'onehot': XLA scan of one-hot row/column contractions
@@ -99,15 +105,17 @@ def score_connections(peaks: Peaks, paf: jax.Array, *, factor: int = 8,
       72-image batch vs ~10 ms; kept for differential tests / large-K on
       CPU)
     """
-    if sampling == "auto":
-        sampling = ("pallas_fused" if jax.default_backend() == "tpu"
-                    else "onehot")
-    if sampling not in ("onehot", "gather", "pallas", "pallas_fused"):
-        raise ValueError(f"sampling must be 'auto', 'onehot', 'gather', "
-                         f"'pallas' or 'pallas_fused', got {sampling!r}")
     h, w, _ = paf.shape
     h_up = h * factor
     K = peaks.x.shape[1]
+    if sampling == "auto":
+        if jax.default_backend() == "tpu":
+            sampling = "pallas_fused" if K <= 32 else "pallas"
+        else:
+            sampling = "onehot"
+    if sampling not in ("onehot", "gather", "pallas", "pallas_fused"):
+        raise ValueError(f"sampling must be 'auto', 'onehot', 'gather', "
+                         f"'pallas' or 'pallas_fused', got {sampling!r}")
 
     ax = peaks.x[_PAIR_A].astype(jnp.float32)      # (19, K)
     ay = peaks.y[_PAIR_A].astype(jnp.float32)

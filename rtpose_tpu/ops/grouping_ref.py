@@ -24,6 +24,20 @@ import numpy as np
 from ..skeleton import (GROUP_PAIRS, GROUP_PAIRS_NET, NUM_GROUP_PAIRS,
                         NUM_PARTS, NUM_SEED_PAIRS)
 
+# Branch-hit counters for the assembly stage, so differential tests can
+# prove a fuzz corpus actually exercised the C++ quirk branches
+# (found==2 merge, the '>0' cid-0 membership blindness) rather than
+# trivially passing on easy scenes.  Reset with reset_branch_stats().
+BRANCH_STATS = {"found0_new": 0, "found1": 0, "found2_merge": 0,
+                "found2_else": 0, "found3plus_dropped": 0,
+                "cid0_invisible_merge": 0}
+
+
+def reset_branch_stats() -> None:
+    for k in BRANCH_STATS:
+        BRANCH_STATS[k] = 0
+
+
 # Constants of the C++ grouping stage (reference pafprocess.h:6-13).
 THRESH_VECTOR_SCORE = 0.05
 THRESH_VECTOR_CNT1 = 6
@@ -223,7 +237,10 @@ def group_peaks(joint_list: np.ndarray, heat_up_shape: Tuple[int, int],
                 if row[part1] == cid1 or row[part2] == cid2:
                     found_rows.append(si)
             found = len(found_rows)
+            if found >= 3:
+                BRANCH_STATS["found3plus_dropped"] += 1
             if found == 1:
+                BRANCH_STATS["found1"] += 1
                 row = subset[found_rows[0]]
                 if row[part2] != cid2:
                     row[part2] = cid2
@@ -240,15 +257,24 @@ def group_peaks(joint_list: np.ndarray, heat_up_shape: Tuple[int, int],
                 membership = any(r1[j] > 0 and r2[j] > 0
                                  for j in range(NUM_PARTS))
                 if not membership:
+                    BRANCH_STATS["found2_merge"] += 1
+                    if any((r1[j] == 0 and r2[j] >= 0)
+                           or (r2[j] == 0 and r1[j] >= 0)
+                           for j in range(NUM_PARTS)):
+                        # a '>= 0' membership test would have blocked this
+                        # merge — the cid-0 blindness actually fired
+                        BRANCH_STATS["cid0_invisible_merge"] += 1
                     r1[:NUM_PARTS] += r2[:NUM_PARTS] + 1
                     r1[19] += r2[19]
                     r1[18] += r2[18] + score
                     subset.pop(s2)
                 else:
+                    BRANCH_STATS["found2_else"] += 1
                     r1[part2] = cid2
                     r1[19] += 1
                     r1[18] += peak_score[int(cid2)] + score
             elif found == 0 and pair_id < NUM_SEED_PAIRS:
+                BRANCH_STATS["found0_new"] += 1
                 row = -np.ones(20)
                 row[part1] = cid1
                 row[part2] = cid2
