@@ -54,6 +54,25 @@ _PEAK_TFLOPS = {
 }
 
 
+def h2d_probe_mbps(nbytes: int = 8 << 20) -> float:
+    """One timed raw uint8 host->device transfer + 1-byte readback: the
+    tunnel-weather covariate recorded per trial so cross-round headline
+    swings are attributable to H2D bandwidth, not code (round-4 verdict
+    item 4: median 147 -> 95 FPS across rounds with identical
+    compute-bound FPS was pure tunnel weather, but nothing recorded it).
+    """
+    import jax
+
+    buf = np.zeros(nbytes, np.uint8)
+    t0 = time.perf_counter()
+    d = jax.device_put(buf)
+    d.block_until_ready()
+    # block_until_ready resolves at enqueue on the tunnel backend; a tiny
+    # readback closes the round trip truthfully
+    _ = np.asarray(d[:1])
+    return nbytes / (time.perf_counter() - t0) / 1e6
+
+
 def run_trial(serve, params, batches, device_put):
     q = queue.Queue(maxsize=DEPTH)
 
@@ -202,16 +221,20 @@ def main():
     jax.block_until_ready(r)
     _ = np.asarray(r)
 
-    trials = []
+    pairs = []   # (fps, h2d_mbps) per trial, bandwidth probed just before
     for i in range(TRIALS):
         if i:
             time.sleep(TRIAL_GAP_S)
-        trials.append(run_trial(serve, params, batches, jax.device_put))
-    trials.sort()
+        bw = h2d_probe_mbps()
+        pairs.append((run_trial(serve, params, batches, jax.device_put),
+                      bw))
+    pairs.sort()
+    trials = [f for f, _ in pairs]
     # headline = MEDIAN across trials (round-3 verdict: a best-of-N
     # headline drifts upward with N); best + full list stay as extras
     fps_best = trials[-1]
     fps_median = statistics.median(trials)
+    bw_median = statistics.median(bw for _, bw in pairs)
 
     c_fps = compute_bound_fps(serve, params, dev_batch)
     flops = program_flops(serve, params, dev_batch)
@@ -239,6 +262,8 @@ def main():
         "e2e_fps_best": round(fps_best, 2),
         "e2e_fps_median": round(fps_median, 2),
         "e2e_fps_trials": [round(t, 1) for t in trials],
+        "h2d_mbps_trials": [[round(f, 1), round(bw, 1)] for f, bw in pairs],
+        "h2d_mbps_median": round(bw_median, 1),
         "trial_spacing_s": TRIAL_GAP_S,
         "compute_fps": round(c_fps, 2),
         "program_gflops_per_image": round(flops / BATCH / 1e9, 2)

@@ -45,9 +45,10 @@ def main():
                              "bool_gaussian_filt, default off)")
     parser.add_argument("--multiscale", default=None, metavar="S1,S2,...",
                         help="comma-separated TTA scale factors (e.g. "
-                             "0.5,1.0,1.5,2.0): fused multi-scale eval via "
-                             "PosePipeline.run_multiscale (single-image "
-                             "path; incompatible with --batch)")
+                             "0.5,1.0,1.5,2.0): fused multi-scale eval. "
+                             "Composes with --batch (bucketed batched "
+                             "multi-scale programs, round 5); "
+                             "--data-parallel stays flip-only")
     parser.add_argument("--flip", action="store_true", default=True)
     parser.add_argument("--no-flip", dest="flip", action="store_false")
     parser.add_argument("--limit", type=int, default=None)
@@ -74,10 +75,10 @@ def main():
                              f"floats")
         if not scales or any(s <= 0 for s in scales):
             raise SystemExit("--multiscale needs positive scale factors")
-        if args.batch or args.data_parallel:
-            raise SystemExit("--multiscale runs the single-image fused-TTA "
-                             "path; drop --batch/--data-parallel (batched "
-                             "eval is flip-only)")
+        if args.data_parallel:
+            raise SystemExit("--multiscale eval is single-device (the "
+                             "fused TTA program is not mesh-sharded); "
+                             "drop --data-parallel or use flip-only")
 
     mesh = None
     if args.data_parallel:
@@ -94,7 +95,8 @@ def main():
                                  batch_size=args.batch, limit=args.limit,
                                  vis_dir=args.vis_dir,
                                  score_mode=args.score_mode,
-                                 results_path=args.results)
+                                 results_path=args.results,
+                                 scales=scales)
     else:
         from .harness import run_eval
         stats = run_eval(args.image_dir, args.ann, pipe,

@@ -147,11 +147,18 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
                      limit: Optional[int] = None,
                      results_path: Optional[str] = None,
                      score_mode: str = "parity",
-                     pad_partial: bool = True
+                     pad_partial: bool = True,
+                     scales: Optional[Sequence[float]] = None
                      ) -> Dict[str, float]:
     """Throughput-oriented eval: bucket images by padded shape, run the
     jitted pipeline on batches within each bucket (one compile per bucket
     shape), decode on device in batch.
+
+    `scales`: optional multi-scale TTA factors — batches then run the
+    fused multi-scale program (PosePipeline.run_multiscale_batch_submit)
+    and images are bucketed by the TUPLE of their per-scale padded shapes
+    (images sharing a base shape can still split when a scale rounds to a
+    different pad), so every bucket compiles exactly one program.
 
     For multi-host, shard img_ids with parallel.distributed.host_shard and
     merge per-host results files.  For multi-chip within a host, build the
@@ -177,13 +184,27 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
     from collections import defaultdict
 
     from ..infer.preprocess import scale_pad_geometry
+
+    def bucket_key(h, w):
+        _, _, _, ph, pw = scale_pad_geometry(
+            h, w, pipeline.input_size, pipeline.pad_factor)
+        if not scales:
+            return (ph, pw)
+        # multi-scale: one program per distinct tuple of per-scale padded
+        # shapes (mirrors PosePipeline._prep_scales size arithmetic)
+        per_scale = tuple(
+            scale_pad_geometry(
+                h, w,
+                max(pipeline.pad_factor,
+                    int(round(pipeline.input_size * s))),
+                pipeline.pad_factor)[3:5]
+            for s in scales)
+        return ((ph, pw),) + per_scale
+
     buckets = defaultdict(list)
     for img_id in img_ids:
         info = coco.image_info(img_id)
-        _, _, _, ph, pw = scale_pad_geometry(
-            info["height"], info["width"], pipeline.input_size,
-            pipeline.pad_factor)
-        buckets[(ph, pw)].append(img_id)
+        buckets[bucket_key(info["height"], info["width"])].append(img_id)
 
     outputs: List[dict] = []
     done = 0
@@ -273,7 +294,9 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
                     # the pad frames' outputs fall off the end.
                     frames = frames + [frames[-1]] * (batch_size
                                                       - len(frames))
-                ticket = pipeline.run_batch_submit(frames)
+                ticket = (pipeline.run_multiscale_batch_submit(
+                              frames, tuple(scales)) if scales
+                          else pipeline.run_batch_submit(frames))
                 if pending is not None:
                     drain(*pending)
                 pending = (chunk, frames, ticket)

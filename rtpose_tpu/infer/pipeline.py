@@ -562,6 +562,86 @@ class PosePipeline:
         people = people_to_numpy(people_host, w_up, h_up)
         return people, heat_avg, paf_avg, meta
 
+    def _multiscale_batch_fn(self, n_scales: int, base_hw: tuple):
+        """Batched variant of :meth:`_multiscale_fn`: one jitted program
+        running n_scales BATCHED forwards (each (B, Hs, Ws, 3) uint8,
+        flip TTA fused inside), in-graph bicubic resize of every map to
+        the base grid, averaging, and one batched decode.  Composes the
+        round-2 fused multi-scale TTA with the bucketed batch eval so
+        --multiscale no longer serializes ~5,000 single-image dispatches
+        over the ~30 ms tunnel RTT (round-4 verdict item 3)."""
+        key = ("batch", n_scales, tuple(base_hw))
+        cached = self._ms_cache.get(key)
+        if cached is not None:
+            return cached
+        from ..ops.resize import resize_bicubic
+        infer_maps = self._infer_maps
+        dk = dict(self._decode_only.keywords)
+
+        @jax.jit
+        def run(params, *batches_u8):
+            heats, pafs = [], []
+            for b in batches_u8:
+                h, p = jax.vmap(
+                    lambda im: infer_maps.__wrapped__(params, im)[1:])(b)
+                heats.append(jax.vmap(
+                    lambda m: resize_bicubic(m, base_hw))(h))
+                pafs.append(jax.vmap(
+                    lambda m: resize_bicubic(m, base_hw))(p))
+            heat_avg = sum(heats) / len(heats)
+            paf_avg = sum(pafs) / len(pafs)
+            people = decode_poses_batch.__wrapped__(heat_avg, paf_avg,
+                                                    **dk)
+            return people, heat_avg, paf_avg
+
+        self._ms_cache[key] = run
+        return run
+
+    def _submit_multiscale_stacked(self, preps, scales):
+        base_hw = preps[0][1]
+        metas = [dict(meta) for _, _, meta in preps]
+        batches = tuple(
+            jnp.asarray(np.stack([ims[s] for ims, _, _ in preps]))
+            for s in range(len(scales)))
+        fn = self._multiscale_batch_fn(len(scales), base_hw)
+        people_dev, heat_avg, paf_avg = fn(self.params, *batches)
+        # same async ticket shape as run_batch_submit: run_batch_collect
+        # handles the readback AND the fixed-shape truncation retry from
+        # the still-on-device averaged maps
+        return ("async", people_dev, heat_avg, paf_avg, metas)
+
+    def run_multiscale_batch_submit(self, images_bgr,
+                                    scales=(0.5, 1.0, 1.5, 2.0)):
+        """Enqueue one multi-scale TTA batch without blocking; collect
+        with :meth:`run_batch_collect`.  Frames whose per-scale padded
+        shapes differ are grouped into per-shape async sub-batches like
+        run_batch_submit (the eval harness pre-buckets by these shapes,
+        so its chunks always land in one group)."""
+        if self.mesh is not None and self.mesh.size > 1:
+            raise NotImplementedError(
+                "multi-scale batch eval is single-device; drop mesh= or "
+                "use flip-only --data-parallel eval")
+        if not images_bgr:
+            return ("multi", 0, [])
+        preps = [self._prep_scales(im, scales) for im in images_bgr]
+        keys = [(bhw,) + tuple(im.shape for im in ims)
+                for ims, bhw, _ in preps]
+        if len(set(keys)) != 1:
+            groups: Dict[tuple, list] = {}
+            for i, k in enumerate(keys):
+                groups.setdefault(k, []).append(i)
+            sub = [(idxs, self._submit_multiscale_stacked(
+                        [preps[i] for i in idxs], scales))
+                   for idxs in groups.values()]
+            return ("multi", len(preps), sub)
+        return self._submit_multiscale_stacked(preps, scales)
+
+    def run_multiscale_batch(self, images_bgr,
+                             scales=(0.5, 1.0, 1.5, 2.0)):
+        """Batched multi-scale TTA: submit + immediate collect."""
+        return self.run_batch_collect(
+            self.run_multiscale_batch_submit(images_bgr, scales))
+
     def keypoints_pixels(self, people, meta):
         """Map normalized part coords back to original-image pixels.
 

@@ -103,11 +103,20 @@ def test_evalx_cli_multiscale(fixture_set, monkeypatch, capsys):
              monkeypatch, capsys)
 
 
+def test_evalx_cli_multiscale_batched(fixture_set, monkeypatch, capsys):
+    """--multiscale now composes with --batch: bucketed batched fused-TTA
+    programs (round-5 verdict item 3)."""
+    img_dir, ann = fixture_set
+    _run_cli(["--image-dir", img_dir, "--ann", ann, "--stages", "1",
+              "--input-size", "56", "--fp32", "--no-flip",
+              "--multiscale", "0.75,1.0", "--batch", "2"],
+             monkeypatch, capsys)
+
+
 @pytest.mark.parametrize("extra,msg", [
     (["--multiscale", "0.5,abc"], "comma-separated floats"),
     (["--multiscale", "0.5,-1.0"], "positive"),
-    (["--multiscale", "0.5,1.0", "--batch", "4"], "flip-only"),
-    (["--multiscale", "0.5,1.0", "--data-parallel"], "flip-only"),
+    (["--multiscale", "0.5,1.0", "--data-parallel"], "single-device"),
 ])
 def test_evalx_cli_multiscale_rejects(fixture_set, monkeypatch, capsys,
                                       extra, msg):

@@ -64,6 +64,52 @@ def test_fused_multiscale_single_dispatch():
     assert calls == [3]
 
 
+def test_batched_multiscale_matches_single_image():
+    """run_multiscale_batch == per-image run_multiscale on every frame
+    (same scales): identical averaged maps, people and metas — the
+    round-5 composition of fused multi-scale TTA with batched eval."""
+    model = get_model("vgg19", num_stages=1, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    pipe = PosePipeline(model, params, input_size=56, flip=False)
+    rng = np.random.RandomState(2)
+    frames = [(rng.rand(90, 70, 3) * 255).astype(np.uint8)
+              for _ in range(3)]
+    scales = (0.75, 1.0, 1.25)
+
+    people_b, metas_b = pipe.run_multiscale_batch(frames, scales)
+    assert len(people_b) == len(metas_b) == len(frames)
+    for img, people, meta in zip(frames, people_b, metas_b):
+        p_one, _, _, m_one = pipe.run_multiscale(img, scales)
+        assert meta["upsampled"] == m_one["upsampled"]
+        assert meta["scale"] == m_one["scale"]
+        assert len(people) == len(p_one)
+        for a, b in zip(people, p_one):
+            assert set(a["parts"]) == set(b["parts"])
+            for part in a["parts"]:
+                np.testing.assert_allclose(a["parts"][part],
+                                           b["parts"][part], atol=1e-5)
+            assert a["score"] == pytest.approx(b["score"], abs=1e-5)
+
+
+def test_batched_multiscale_mixed_shapes():
+    """Frames with different per-scale padded shapes fall into per-shape
+    sub-batches and results come back in input order."""
+    model = get_model("vgg19", num_stages=1, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    pipe = PosePipeline(model, params, input_size=56, flip=False)
+    rng = np.random.RandomState(3)
+    frames = [(rng.rand(90, 70, 3) * 255).astype(np.uint8),
+              (rng.rand(60, 100, 3) * 255).astype(np.uint8),
+              (rng.rand(90, 70, 3) * 255).astype(np.uint8)]
+    scales = (1.0, 1.25)
+    people_b, metas_b = pipe.run_multiscale_batch(frames, scales)
+    assert len(people_b) == 3
+    for img, people, meta in zip(frames, people_b, metas_b):
+        p_one, _, _, m_one = pipe.run_multiscale(img, scales)
+        assert meta["upsampled"] == m_one["upsampled"]
+        assert len(people) == len(p_one)
+
+
 def test_multiscale_unaffected_by_device_resize():
     """Regression: with device_resize on, the maps-only infer fn used by
     the multi-scale paths must NOT re-resize the host-prepped per-scale
