@@ -94,7 +94,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="vgg19",
                     help="vgg19 | hourglass | shufflenet_v2 | mobilenet | "
-                         "openpose_v2 (hourglass switches to the train_SH "
+                         "openpose_v2 | atrous_resnet50 | atrous_cpm | "
+                         "atrous_cpm_shared "
+                         "(hourglass switches to the train_SH "
                          "recipe: stride 4, sigma 4.416, limb width 1.289, "
                          "masked loss, BatchNorm state; shufflenet_v2 uses "
                          "the train_ShuffleNetV2 recipe: stride 8, sigma 7, "
@@ -155,6 +157,18 @@ def main():
             raise SystemExit(
                 f"--model shufflenet_v2 needs --size divisible by 8 "
                 f"(stem+pool+stage2 strides); got {args.size}")
+    elif args.model in ("atrous_resnet50", "atrous_cpm",
+                        "atrous_cpm_shared"):
+        # Legacy families the reference shipped but whose trainers died
+        # with the `tnn`/`slim` deps (atrouspose.py:73-98 ResNet50+ASPP
+        # with lateral upsample fusion; atrous_model.py:78-143 dilated
+        # CPM): stride-8 output, sigma 7, unmasked MSE — Config defaults.
+        # atrous_resnet50 is single-stage by construction and threads
+        # BatchNorm running stats; atrous_cpm takes --stages.
+        if args.size % 8:
+            raise SystemExit(
+                f"--model {args.model} needs --size divisible by 8 "
+                f"(stride-8 trunk); got {args.size}")
     elif args.model in ("mobilenet", "openpose_v2"):
         # Families the reference assembled but never wired a trainer for
         # (rtpose_mobilenetV2.py / openpose.py): stride-8 output, sigma 7,
