@@ -131,6 +131,121 @@ def paf_to_pose_mod():
     return p2p
 
 
+class _CfgNode(dict):
+    """Minimal yacs.config.CfgNode stand-in: attribute-style nested dict,
+    just enough for the reference's lib/config/default.py to build its
+    default tree (yacs is not in this image; the reference only reads
+    attributes off the built cfg)."""
+
+    def __init__(self, *args, **kwargs):   # accepts new_allowed=...
+        super().__init__()
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    # the reference's update_config path (lib/config/default.py:139-141)
+    def defrost(self):
+        pass
+
+    def freeze(self):
+        pass
+
+    def merge_from_file(self, path):
+        import yaml
+        with open(path) as f:
+            self._merge(yaml.safe_load(f))
+
+    def _merge(self, d):
+        for k, v in (d or {}).items():
+            if isinstance(v, dict) and isinstance(self.get(k), _CfgNode):
+                self[k]._merge(v)
+            else:
+                self[k] = v
+
+    def merge_from_list(self, opts):
+        opts = list(opts or [])
+        for key, val in zip(opts[0::2], opts[1::2]):
+            node = self
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            node[parts[-1]] = val
+
+
+def coco_eval_mod():
+    """evaluate/coco_eval.py — the reference's eval driver, for its
+    append_result / ORDER_COCO conventions and handle_paf_and_heat.
+
+    Its module-level imports pull pycocotools and yacs, neither of which
+    exists in this image; both are stubbed with the minimal surface the
+    import needs (COCO/COCOeval are only touched inside eval_coco, which
+    differential tests never call — they score with our evaluator).
+    """
+    if "_ref_coco_eval" in sys.modules:
+        return sys.modules["_ref_coco_eval"]
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    # yacs shim (must exist before lib.config imports)
+    if "yacs" not in sys.modules:
+        yacs = types.ModuleType("yacs")
+        yacs_config = types.ModuleType("yacs.config")
+        yacs_config.CfgNode = _CfgNode
+        yacs.config = yacs_config
+        sys.modules["yacs"] = yacs
+        sys.modules["yacs.config"] = yacs_config
+    # torchvision shim: lib/datasets/datasets.py imports it at module
+    # level but only touches transforms.functional inside dataset methods
+    # the differential never calls
+    if "torchvision" not in sys.modules:
+        class _TVOp:  # accepts any args, callable no-op
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, x):
+                return x
+
+        class _TVTransforms:   # any transform name -> no-op class
+            functional = None
+
+            def __getattr__(self, name):
+                return _TVOp
+
+        tv = types.ModuleType("torchvision")
+        tv.transforms = _TVTransforms()
+        sys.modules["torchvision"] = tv
+    # pycocotools shim
+    if "pycocotools" not in sys.modules:
+        pct = types.ModuleType("pycocotools")
+        pct_coco = types.ModuleType("pycocotools.coco")
+        pct_coco.COCO = object
+        pct_eval = types.ModuleType("pycocotools.cocoeval")
+        pct_eval.COCOeval = object
+        sys.modules["pycocotools"] = pct
+        sys.modules["pycocotools.coco"] = pct_coco
+        sys.modules["pycocotools.cocoeval"] = pct_eval
+    ext = pafprocess()  # ensure lib.pafprocess.pafprocess resolves
+    import lib.pafprocess
+    if not hasattr(lib.pafprocess, "pafprocess"):
+        sys.modules["lib.pafprocess.pafprocess"] = ext
+        lib.pafprocess.pafprocess = ext
+    # coco_eval.py argparses sys.argv AT IMPORT (evaluate/coco_eval.py:
+    # 20-32) and merges the --cfg yaml; feed it the reference's own
+    # experiment file and restore argv afterwards
+    argv = sys.argv
+    sys.argv = ["coco_eval", "--cfg",
+                os.path.join(REF, "experiments", "vgg19_368x368_sgd.yaml")]
+    try:
+        return _load("evaluate/coco_eval.py", "_ref_coco_eval")
+    finally:
+        sys.argv = argv
+
+
 def make_config(downsample: int = 8, thresh_heatmap: float = 0.1,
                 num_keypoints: int = 18, num_intermed: int = 10):
     """A minimal stand-in for the reference's yacs cfg (only the fields

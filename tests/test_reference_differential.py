@@ -234,6 +234,48 @@ def test_device_decode_matches_reference(seed, n_people):
 
 
 # ---------------------------------------------------------------------------
+# Results-JSON convention: our append_result vs the reference's own
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed,n_people", [(0, 2), (4, 5)])
+def test_append_result_matches_reference(seed, n_people):
+    """Same maps through both full pipelines -> identical COCO results
+    rows: the reference's NMS + compiled C++ + its own append_result
+    (evaluate/coco_eval.py:117-154, loaded with its argv/cfg machinery)
+    vs our device decode + evalx append_result."""
+    ce = R.coco_eval_mod()
+    p2p = R.paf_to_pose_mod()
+    from lib.config import cfg as ref_cfg
+
+    from rtpose_tpu.evalx.harness import append_result
+
+    _, heat, paf = synth_example(seed=seed, n_people=n_people)
+    heat = heat.astype(np.float32)
+    paf = paf.astype(np.float32)
+    scale = 0.75
+    upk = (heat.shape[0] * F / scale, heat.shape[1] * F / scale)
+
+    humans = p2p.paf_to_pose_cpp(heat, paf, ref_cfg)
+    ref_rows: list = []
+    ce.append_result(42, humans, upk, ref_rows)
+
+    dev = decode_poses(jnp.asarray(heat), jnp.asarray(paf))
+    people = people_to_numpy(dev, heat.shape[1] * F, heat.shape[0] * F)
+    our_rows: list = []
+    append_result(42, people, upk, our_rows, score_mode="parity")
+
+    assert len(ref_rows) == len(our_rows) > 0
+    key = lambda r: tuple(round(v, 4) for v in r["keypoints"])  # noqa
+    for rr, orow in zip(sorted(ref_rows, key=key),
+                        sorted(our_rows, key=key)):
+        assert rr["image_id"] == orow["image_id"] == 42
+        assert rr["category_id"] == orow["category_id"] == 1
+        assert rr["score"] == orow["score"] == 1.0
+        np.testing.assert_allclose(orow["keypoints"], rr["keypoints"],
+                                   atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
 # Model: flax VGG19 vs the reference's get_model('vgg19'), both directions
 # ---------------------------------------------------------------------------
 
