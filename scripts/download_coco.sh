@@ -9,7 +9,11 @@ cd "$TARGET"
 
 fetch() {
     local url=$1 out=$2
-    if [ ! -f "$out" ]; then
+    # treat 0-byte leftovers from a failed attempt as absent (wget -O
+    # creates the file before DNS resolution, so a dead-egress attempt
+    # leaves an empty zip that would otherwise block every retry)
+    if [ ! -s "$out" ]; then
+        rm -f "$out"
         wget -c "$url" -O "$out"
     fi
 }
