@@ -17,6 +17,18 @@ continuation.  Mirrors the reference's multi-day training regime
 
     nohup python scripts/hw_endurance.py --hours 3 --out /tmp/endurance \
         > /tmp/endurance.log 2>&1 &
+
+Host-RSS note (round-5 finding, SCALING.md "Endurance"): the axon tunnel
+PJRT client retains every H2D staging buffer (~1 byte RSS per byte
+shipped; D2H is clean; the framework itself holds flat RSS over the same
+loop on the CPU backend).  A multi-hour run's RSS therefore grows by
+steps x batch-bytes regardless of framework code.  ``--max-rss-gb``
+bounds it: at a window boundary past the limit the run checkpoints,
+writes its summary (reason "rss_recycle"), and exits with code 75 so an
+outer loop can relaunch losslessly:
+
+    while :; do python scripts/hw_endurance.py --hours 3 \
+        --max-rss-gb 80 --out /tmp/endurance; [ $? -ne 75 ] && break; done
 """
 
 import argparse
@@ -69,6 +81,9 @@ def main():
     ap.add_argument("--keep", type=int, default=3)
     ap.add_argument("--log-every", type=int, default=25,
                     help="steps per readback window (one loss sync each)")
+    ap.add_argument("--max-rss-gb", type=float, default=0.0,
+                    help="checkpoint + exit 75 when host RSS passes this "
+                         "(tunnel-client H2D leak mitigation; 0 = off)")
     args = ap.parse_args()
 
     import jax
@@ -152,6 +167,7 @@ def main():
     t_run0 = time.perf_counter()
     steps_run = 0
     last_logs = logs
+    stop_reason = "deadline"
     while time.time() < deadline:
         t_w = time.perf_counter()
         for _ in range(args.log_every):
@@ -184,13 +200,21 @@ def main():
         log_f.write(json.dumps(rec) + "\n")
         log_f.flush()
         print(json.dumps(rec), flush=True)
+        if args.max_rss_gb and rss > args.max_rss_gb * 1024:
+            stop_reason = "rss_recycle"
+            break
 
     loss = float(np.asarray(last_logs["loss"]))
     mgr.save(tr.state, step=global_step,
              meta={"step": global_step, "loss": loss})
     wall = time.perf_counter() - t_run0
     ws = np.array(window_step_s)
+    batch_bytes = (args.batch * args.size * args.size * 3           # uint8
+                   + args.batch * (32 * 18 * 3 + 4) * 4             # kp+win
+                   + args.batch * (args.size // 8) ** 2 * 4)        # mask
     summary = {
+        "stop_reason": stop_reason,
+        "h2d_gb_shipped": round(steps_run * batch_bytes / 1e9, 1),
         "resumed_from": resumed_from,
         "steps_this_run": steps_run,
         "global_step": global_step,
@@ -213,6 +237,8 @@ def main():
               "w") as f:
         json.dump(summary, f, indent=1)
     print("SUMMARY", json.dumps(summary), flush=True)
+    if stop_reason == "rss_recycle":
+        sys.exit(75)   # EX_TEMPFAIL: outer loop relaunches, resume is lossless
 
 
 if __name__ == "__main__":
