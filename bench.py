@@ -177,9 +177,44 @@ def train_metrics(peak):
     }
 
 
+def tunnel_alive(timeout_s: float = 240.0) -> bool:
+    """Bounded TPU data-plane probe.  The tunnel goes down for hours at a
+    time and a dead tunnel BLOCKS transfers forever (enumeration may still
+    answer, and the blocked transfer holds the GIL — measured 2026-08-20 —
+    so an in-process daemon-thread timeout cannot fire either).  Probe in
+    a subprocess and kill it on timeout.  240 s covers the one-time
+    first-transfer path init."""
+    import subprocess
+    import sys as _sys
+
+    code = ("import jax, numpy as np\n"
+            "d = jax.device_put(np.ones(1 << 20, np.uint8))\n"
+            "d.block_until_ready()\n"
+            "print(np.asarray(d[:4])[0])\n")
+    try:
+        r = subprocess.run([_sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    if not tunnel_alive():
+        # one well-formed line either way: the driver records it and a
+        # reader sees WHY there is no number, instead of a hung process
+        print(json.dumps({
+            "metric": "fps_368x368_e2e_incl_grouping",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": "tpu tunnel data plane unreachable (transfer probe "
+                     "timed out after 240s); bench not run",
+        }))
+        raise SystemExit(2)
 
     # Persistent compile cache: the 6-stage fwd and fwd+bwd programs cost
     # minutes to compile; cached XLA binaries load in ms on the axon
