@@ -233,7 +233,7 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
     import queue
     import threading
 
-    def read_chunks(ids, q, stop):
+    def read_chunks(ids, q, stop, bs):
         """Decode-ahead producer: cv2.imread releases the GIL, so the next
         chunk decodes while the main thread blocks on the previous chunk's
         device readback (the dominant wait on the tunnel backend).  `stop`
@@ -249,10 +249,10 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
                     pass
 
         try:
-            for i in range(0, len(ids), batch_size):
+            for i in range(0, len(ids), bs):
                 if stop.is_set():
                     return
-                chunk = ids[i:i + batch_size]
+                chunk = ids[i:i + bs]
                 frames = [
                     _imread_checked(os.path.join(
                         image_dir, coco.image_info(img_id)["file_name"]))
@@ -266,12 +266,21 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
     for shape, ids in sorted(buckets.items(),
                              key=lambda kv: -len(kv[1])):
         t_bucket = time.perf_counter()
+        eff_bs = batch_size
+        if scales:
+            # HBM guard (pipeline.ms_chunk_cap): cap this bucket's batch
+            # by its largest scaled shape BEFORE padding, so an
+            # extreme-aspect tail bucket is never padded up to a chunk
+            # the stacked multi-scale program can't fit on-chip — and
+            # each bucket still compiles exactly one program.
+            max_px = max(h * w for h, w in shape[1:])
+            eff_bs = max(1, min(batch_size, pipeline.ms_chunk_cap(max_px)))
         # depth-2 pipeline within a bucket: chunk k+1's imread + H2D +
         # forward overlap chunk k's readback + result conversion (same
         # shape -> same compiled program, no pipeline-breaking recompile)
         q: "queue.Queue" = queue.Queue(maxsize=2)
         stop = threading.Event()
-        t = threading.Thread(target=read_chunks, args=(ids, q, stop),
+        t = threading.Thread(target=read_chunks, args=(ids, q, stop, eff_bs),
                              daemon=True)
         t.start()
         try:
@@ -283,7 +292,7 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
                 if isinstance(item, BaseException):
                     raise item
                 chunk, frames = item
-                if pad_partial and len(frames) < batch_size:
+                if pad_partial and len(frames) < eff_bs:
                     # pad the remainder chunk to the full batch size by
                     # repeating the last frame: every bucket then runs ONE
                     # compiled program (B=batch_size) instead of compiling a
@@ -292,8 +301,7 @@ def run_eval_batched(image_dir: str, ann_file: str, pipeline: PosePipeline,
                     # ~90 s/program on the tunnel TPU vs <1 s of compute).
                     # drain() zips results against the real `chunk` ids, so
                     # the pad frames' outputs fall off the end.
-                    frames = frames + [frames[-1]] * (batch_size
-                                                      - len(frames))
+                    frames = frames + [frames[-1]] * (eff_bs - len(frames))
                 ticket = (pipeline.run_multiscale_batch_submit(
                               frames, tuple(scales)) if scales
                           else pipeline.run_batch_submit(frames))

@@ -37,6 +37,18 @@ _FLIP_HEAT_ARR = np.array(FLIP_HEAT)
 _PAF_X_NEG = np.ones(2 * NUM_LIMBS, dtype=np.float32)
 _PAF_X_NEG[0::2] = -1.0
 
+# HBM guard for stacked multi-scale batches: cap B so that
+# B * (largest scaled H*W) stays under this budget (expressed for bf16
+# compute; the cap halves for f32 — see PosePipeline.ms_chunk_cap).
+# Calibrated on v5e (15.75 GiB usable HBM): a 16-frame bf16 chunk at
+# max-scale (576, 1920) = 17.7 Mpx-frames compiled to a 16.9 GiB program
+# and OOMed — the two live conv1 temporaries dominate, each
+# [2B, H, W, 64] tiled to 128 lanes (2x channel padding) — while the
+# standard 368-input bucket (max scale 576x832 = 0.48 Mpx) ran the whole
+# 5,000-image rehearsal at B=16 = 7.7 Mpx-frames. 8 Mpx (bf16) keeps the
+# dominant temps under ~9 GiB and the standard bucket at full batch 16.
+MS_PIXEL_BUDGET = 8_000_000
+
 # Raised decode caps for the automatic truncation retry: the values the
 # crowded-scene hardware soak validated against the unbounded host oracle
 # (scripts/soak_decode.py; 21/100 crowded scenes overflow the defaults).
@@ -610,13 +622,31 @@ class PosePipeline:
         # the still-on-device averaged maps
         return ("async", people_dev, heat_avg, paf_avg, metas)
 
+    def ms_chunk_cap(self, max_px: int) -> int:
+        """Largest frame count per stacked multi-scale chunk for a bucket
+        whose biggest scaled image is `max_px` pixels (the v5e HBM guard,
+        see MS_PIXEL_BUDGET). The budget is calibrated for bf16 compute;
+        the dominant conv temporaries scale with the compute dtype's
+        width, so an f32 model halves the cap."""
+        dtype_bytes = jnp.dtype(
+            getattr(self.model, "dtype", None) or jnp.float32).itemsize
+        return max(1, (MS_PIXEL_BUDGET * 2 // dtype_bytes) // max_px)
+
     def run_multiscale_batch_submit(self, images_bgr,
                                     scales=(0.5, 1.0, 1.5, 2.0)):
         """Enqueue one multi-scale TTA batch without blocking; collect
         with :meth:`run_batch_collect`.  Frames whose per-scale padded
         shapes differ are grouped into per-shape async sub-batches like
         run_batch_submit (the eval harness pre-buckets by these shapes,
-        so its chunks always land in one group)."""
+        so its chunks always land in one group).
+
+        Each stacked chunk is additionally capped so that
+        ``B * max-scale H*W <= MS_PIXEL_BUDGET``: the stacked program holds
+        every scale's full batched forward (with flip fused, so 2B frames),
+        and extreme-aspect val2017 buckets at scale 1.5 otherwise exceed
+        v5e HBM — measured: 16 frames at max-scale (576, 1920) compiled to
+        a 16.9 GiB program (conv1_1 activation bf16[32,576,1920,64] alone
+        is 8.44 GiB) vs 15.75 GiB available."""
         if self.mesh is not None and self.mesh.size > 1:
             raise NotImplementedError(
                 "multi-scale batch eval is single-device; drop mesh= or "
@@ -626,15 +656,21 @@ class PosePipeline:
         preps = [self._prep_scales(im, scales) for im in images_bgr]
         keys = [(bhw,) + tuple(im.shape for im in ims)
                 for ims, bhw, _ in preps]
-        if len(set(keys)) != 1:
-            groups: Dict[tuple, list] = {}
-            for i, k in enumerate(keys):
-                groups.setdefault(k, []).append(i)
-            sub = [(idxs, self._submit_multiscale_stacked(
-                        [preps[i] for i in idxs], scales))
-                   for idxs in groups.values()]
-            return ("multi", len(preps), sub)
-        return self._submit_multiscale_stacked(preps, scales)
+        groups: Dict[tuple, list] = {}
+        for i, k in enumerate(keys):
+            groups.setdefault(k, []).append(i)
+        sub = []
+        for idxs in groups.values():
+            max_px = max(im.shape[0] * im.shape[1]
+                         for im in preps[idxs[0]][0])
+            cap = self.ms_chunk_cap(max_px)
+            for j in range(0, len(idxs), cap):
+                part = idxs[j:j + cap]
+                sub.append((part, self._submit_multiscale_stacked(
+                    [preps[i] for i in part], scales)))
+        if len(sub) == 1 and len(sub[0][0]) == len(preps):
+            return sub[0][1]
+        return ("multi", len(preps), sub)
 
     def run_multiscale_batch(self, images_bgr,
                              scales=(0.5, 1.0, 1.5, 2.0)):

@@ -110,6 +110,43 @@ def test_batched_multiscale_mixed_shapes():
         assert len(people) == len(p_one)
 
 
+def test_batched_multiscale_pixel_budget_split(monkeypatch):
+    """HBM guard: a same-shape chunk whose B * max-scale pixels exceeds
+    MS_PIXEL_BUDGET splits into capped sub-batches (v5e OOM regression:
+    a padded 16-frame tail bucket at max-scale 576x1920 compiled to a
+    16.9 GiB program) — and results still come back in input order,
+    identical to the unsplit path."""
+    from rtpose_tpu.infer import pipeline as plmod
+    model = get_model("vgg19", num_stages=1, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    pipe = PosePipeline(model, params, input_size=56, flip=False)
+    rng = np.random.RandomState(7)
+    frames = [(rng.rand(90, 70, 3) * 255).astype(np.uint8)
+              for _ in range(5)]
+    scales = (0.75, 1.0)
+    people_ref, metas_ref = pipe.run_multiscale_batch(frames, scales)
+
+    ims, _, _ = pipe._prep_scales(frames[0], scales)
+    max_px = max(im.shape[0] * im.shape[1] for im in ims)
+    # budget is expressed for bf16; this test model is f32, so the cap is
+    # MS_PIXEL_BUDGET // 2 // max_px — set it so exactly 2 frames fit
+    monkeypatch.setattr(plmod, "MS_PIXEL_BUDGET", 4 * max_px)
+    assert pipe.ms_chunk_cap(max_px) == 2
+    ticket = pipe.run_multiscale_batch_submit(frames, scales)
+    assert ticket[0] == "multi"
+    subs = ticket[2]
+    assert [len(idxs) for idxs, _ in subs] == [2, 2, 1]
+    people, metas = pipe.run_batch_collect(ticket)
+    assert len(people) == len(frames)
+    for got, want, mg, mw in zip(people, people_ref, metas, metas_ref):
+        assert mg["upsampled"] == mw["upsampled"]
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            for part in a["parts"]:
+                np.testing.assert_allclose(a["parts"][part],
+                                           b["parts"][part], atol=1e-5)
+
+
 def test_multiscale_unaffected_by_device_resize():
     """Regression: with device_resize on, the maps-only infer fn used by
     the multi-scale paths must NOT re-resize the host-prepped per-scale
