@@ -47,8 +47,9 @@ def main():
                         help="comma-separated TTA scale factors (e.g. "
                              "0.5,1.0,1.5,2.0): fused multi-scale eval. "
                              "Composes with --batch (bucketed batched "
-                             "multi-scale programs, round 5); "
-                             "--data-parallel stays flip-only")
+                             "multi-scale programs) and --data-parallel "
+                             "(stacked chunks shard over the mesh "
+                             "data axis)")
     parser.add_argument("--flip", action="store_true", default=True)
     parser.add_argument("--no-flip", dest="flip", action="store_false")
     parser.add_argument("--limit", type=int, default=None)
@@ -75,10 +76,6 @@ def main():
                              f"floats")
         if not scales or any(s <= 0 for s in scales):
             raise SystemExit("--multiscale needs positive scale factors")
-        if args.data_parallel:
-            raise SystemExit("--multiscale eval is single-device (the "
-                             "fused TTA program is not mesh-sharded); "
-                             "drop --data-parallel or use flip-only")
 
     mesh = None
     if args.data_parallel:

@@ -589,8 +589,13 @@ class PosePipeline:
         from ..ops.resize import resize_bicubic
         infer_maps = self._infer_maps
         dk = dict(self._decode_only.keywords)
+        sharded = self.mesh is not None and self.mesh.size > 1
+        if sharded:
+            # pallas_call has no GSPMD partitioning rule; the XLA one-hot
+            # sampler shards cleanly over the data axis (same choice as
+            # the flip-only sharded path, _submit_stacked)
+            dk["sampling"] = "onehot"
 
-        @jax.jit
         def run(params, *batches_u8):
             heats, pafs = [], []
             for b in batches_u8:
@@ -606,15 +611,34 @@ class PosePipeline:
                                                     **dk)
             return people, heat_avg, paf_avg
 
+        if sharded:
+            from ..parallel import mesh as pmesh
+            data_sh = pmesh.batch_sharding(self.mesh)
+            run = jax.jit(run,
+                          in_shardings=(pmesh.replicated(self.mesh),)
+                                       + (data_sh,) * n_scales,
+                          out_shardings=data_sh)
+        else:
+            run = jax.jit(run)
         self._ms_cache[key] = run
         return run
 
     def _submit_multiscale_stacked(self, preps, scales):
         base_hw = preps[0][1]
         metas = [dict(meta) for _, _, meta in preps]
-        batches = tuple(
-            jnp.asarray(np.stack([ims[s] for ims, _, _ in preps]))
-            for s in range(len(scales)))
+        pad = 0
+        if self.mesh is not None and self.mesh.size > 1:
+            # pad to a multiple of the data axis like _submit_stacked;
+            # run_batch_collect slices results back to len(metas)
+            pad = -len(preps) % self.mesh.shape["data"]
+        stacks = []
+        for s in range(len(scales)):
+            stacked = np.stack([ims[s] for ims, _, _ in preps])
+            if pad:
+                stacked = np.concatenate(
+                    [stacked, np.repeat(stacked[-1:], pad, axis=0)])
+            stacks.append(jnp.asarray(stacked))
+        batches = tuple(stacks)
         fn = self._multiscale_batch_fn(len(scales), base_hw)
         people_dev, heat_avg, paf_avg = fn(self.params, *batches)
         # same async ticket shape as run_batch_submit: run_batch_collect
@@ -627,10 +651,15 @@ class PosePipeline:
         whose biggest scaled image is `max_px` pixels (the v5e HBM guard,
         see MS_PIXEL_BUDGET). The budget is calibrated for bf16 compute;
         the dominant conv temporaries scale with the compute dtype's
-        width, so an f32 model halves the cap."""
+        width, so an f32 model halves the cap. On a sharded mesh the
+        batch splits over the `data` axis, so the cap scales with the
+        number of data-parallel devices (the budget is per-chip HBM)."""
         dtype_bytes = jnp.dtype(
             getattr(self.model, "dtype", None) or jnp.float32).itemsize
-        return max(1, (MS_PIXEL_BUDGET * 2 // dtype_bytes) // max_px)
+        n_data = (self.mesh.shape.get("data", 1)
+                  if self.mesh is not None else 1)
+        return max(1, n_data * ((MS_PIXEL_BUDGET * 2 // dtype_bytes)
+                                // max_px))
 
     def run_multiscale_batch_submit(self, images_bgr,
                                     scales=(0.5, 1.0, 1.5, 2.0)):
@@ -646,11 +675,11 @@ class PosePipeline:
         and extreme-aspect val2017 buckets at scale 1.5 otherwise exceed
         v5e HBM — measured: 16 frames at max-scale (576, 1920) compiled to
         a 16.9 GiB program (conv1_1 activation bf16[32,576,1920,64] alone
-        is 8.44 GiB) vs 15.75 GiB available."""
-        if self.mesh is not None and self.mesh.size > 1:
-            raise NotImplementedError(
-                "multi-scale batch eval is single-device; drop mesh= or "
-                "use flip-only --data-parallel eval")
+        is 8.44 GiB) vs 15.75 GiB available.
+
+        With a mesh (PosePipeline(..., mesh=)), each stacked chunk shards
+        over the `data` axis (batch padded to a multiple of it) and the
+        fused multi-scale forward + decode run SPMD."""
         if not images_bgr:
             return ("multi", 0, [])
         preps = [self._prep_scales(im, scales) for im in images_bgr]

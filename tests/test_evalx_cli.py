@@ -67,6 +67,17 @@ def test_evalx_cli_batched_data_parallel(fixture_set, monkeypatch, capsys):
              monkeypatch, capsys)
 
 
+def test_evalx_cli_multiscale_data_parallel(fixture_set, monkeypatch,
+                                            capsys):
+    """--multiscale composes with --data-parallel (round 5): stacked
+    multi-scale chunks shard over the mesh data axis."""
+    img_dir, ann = fixture_set
+    _run_cli(["--image-dir", img_dir, "--ann", ann, "--stages", "1",
+              "--input-size", "56", "--fp32", "--no-flip",
+              "--multiscale", "0.75,1.0", "--data-parallel"],
+             monkeypatch, capsys)
+
+
 def test_evalx_cli_orbax_checkpoint_dir(fixture_set, tmp_path, monkeypatch,
                                         capsys):
     """--weight accepts an orbax checkpoint DIRECTORY from this
@@ -116,7 +127,6 @@ def test_evalx_cli_multiscale_batched(fixture_set, monkeypatch, capsys):
 @pytest.mark.parametrize("extra,msg", [
     (["--multiscale", "0.5,abc"], "comma-separated floats"),
     (["--multiscale", "0.5,-1.0"], "positive"),
-    (["--multiscale", "0.5,1.0", "--data-parallel"], "single-device"),
 ])
 def test_evalx_cli_multiscale_rejects(fixture_set, monkeypatch, capsys,
                                       extra, msg):

@@ -65,3 +65,31 @@ def test_sharded_run_batch_pads_ragged_batch():
     assert len(people) == 5 and len(metas) == 5
     for m in metas:
         assert "upsampled" in m
+
+
+def test_sharded_multiscale_batch_matches_single_device():
+    """Fused multi-scale TTA over the mesh: stacked per-scale batches
+    shard over `data` (padded to a multiple of it) and forward + in-graph
+    bicubic resize + averaging + decode run SPMD — results identical to
+    the single-device fused path (round-5: --multiscale now composes
+    with --data-parallel)."""
+    pipe, pipe_sh, _ = _make_pipes()
+    rng = np.random.RandomState(5)
+    frames = [(rng.rand(80, 60, 3) * 255).astype(np.uint8)
+              for _ in range(6)]   # 6 % 8 != 0 -> padded to 8 on device
+    scales = (0.75, 1.0)
+
+    ticket = pipe_sh.run_multiscale_batch_submit(frames, scales)
+    assert ticket[0] == "async"
+    spec = ticket[1].coords.sharding.spec
+    assert spec and spec[0] == pmesh.DATA_AXIS, spec
+
+    people_sh, metas_sh = pipe_sh.run_batch_collect(ticket)
+    people_ref, metas_ref = pipe.run_multiscale_batch(frames, scales)
+    assert len(people_sh) == len(people_ref) == 6
+    for ps, pr, ms, mr in zip(people_sh, people_ref, metas_sh, metas_ref):
+        assert ms["upsampled"] == mr["upsampled"]
+        assert len(ps) == len(pr)
+        for a, b in zip(sorted(ps, key=_people_key),
+                        sorted(pr, key=_people_key)):
+            assert _people_key(a) == _people_key(b)
